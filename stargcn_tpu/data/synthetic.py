@@ -1,0 +1,138 @@
+"""Synthetic MovieLens-like data for tests and benchmarks.
+
+The benchmark environment has no network egress, so the real GroupLens
+archives may be absent.  This module can (a) write a tiny on-disk dataset
+in exact ml-100k file format to exercise the parsers end-to-end, and (b)
+generate an in-memory rating graph with MovieLens-like statistics
+(power-law-ish degrees, 1..5 ratings) at any scale for benchmarking.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from stargcn_tpu.data.movielens import GENRES_ML_100K
+from stargcn_tpu.graph import CSRMat, HeterGraph
+
+
+def synthetic_ratings(num_users=943, num_items=1682, num_edges=100_000,
+                      rating_values=(1, 2, 3, 4, 5), seed=0,
+                      popularity_skew=0.8):
+    """COO rating triples with skewed item popularity (unique pairs)."""
+    rng = np.random.RandomState(seed)
+    target = min(num_edges, num_users * num_items // 2)
+    # Zipf-ish item popularity, uniform users.
+    item_w = 1.0 / np.arange(1, num_items + 1) ** popularity_skew
+    item_w /= item_w.sum()
+    users = np.empty(0, np.int64)
+    items = np.empty(0, np.int64)
+    seen = set()
+    while users.size < target:
+        n = (target - users.size) * 2
+        u = rng.randint(0, num_users, n)
+        i = rng.choice(num_items, n, p=item_w)
+        keys = u.astype(np.int64) * num_items + i
+        fresh = []
+        for k in keys:
+            if k not in seen:
+                seen.add(k)
+                fresh.append(k)
+            if len(seen) >= target:
+                break
+        fresh = np.asarray(fresh, np.int64)
+        users = np.concatenate([users, fresh // num_items])
+        items = np.concatenate([items, fresh % num_items])
+    users, items = users[:target], items[:target]
+    # Ratings correlated with a latent user/item quality, clipped to levels.
+    uq = rng.normal(3.5, 1.0, num_users)
+    iq = rng.normal(0.0, 0.7, num_items)
+    raw = uq[users] + iq[items] + rng.normal(0, 0.6, target)
+    vals = np.clip(np.round(raw), min(rating_values),
+                   max(rating_values)).astype(np.float32)
+    return users.astype(np.int32), items.astype(np.int32), vals
+
+
+def synthetic_graph(num_users=943, num_items=1682, num_edges=100_000,
+                    rating_values=(1, 2, 3, 4, 5), seed=0, feat_dim=8):
+    """An in-memory ``HeterGraph`` with MovieLens-like statistics.
+
+    Guarantees every user and item has at least one edge (the inductive
+    split requires degree >= 1, reference ``datasets.py:193``).
+    """
+    rng = np.random.RandomState(seed)
+    users, items, vals = synthetic_ratings(
+        num_users, num_items, num_edges, rating_values, seed)
+    # Ensure full coverage: add one edge per empty user/item.
+    have_u = np.zeros(num_users, bool)
+    have_u[users] = True
+    have_i = np.zeros(num_items, bool)
+    have_i[items] = True
+    extra_u = np.nonzero(~have_u)[0]
+    extra_i_for_u = rng.randint(0, num_items, extra_u.size)
+    extra_i = np.nonzero(~have_i)[0]
+    extra_u_for_i = rng.randint(0, num_users, extra_i.size)
+    users = np.concatenate([users, extra_u, extra_u_for_i]).astype(np.int32)
+    items = np.concatenate([items, extra_i_for_u, extra_i]).astype(np.int32)
+    vals = np.concatenate([
+        vals, rng.choice(rating_values, extra_u.size + extra_i.size)
+    ]).astype(np.float32)
+    # De-dup (keep first occurrence).
+    keys = users.astype(np.int64) * num_items + items
+    _, first = np.unique(keys, return_index=True)
+    first = np.sort(first)
+    users, items, vals = users[first], items[first], vals[first]
+
+    csr = CSRMat.from_coo(users, items, vals, num_users, num_items,
+                          multi_link=np.asarray(rating_values, np.float32))
+    return HeterGraph(
+        features={
+            "user": rng.normal(size=(num_users, feat_dim)).astype(np.float32),
+            "movie": rng.normal(size=(num_items, feat_dim)).astype(np.float32),
+        },
+        csr_mat_dict={("user", "movie"): csr})
+
+
+def write_ml100k_format(dirname, num_users=50, num_items=30, num_edges=1200,
+                        seed=0):
+    """Write a tiny dataset in exact ml-100k file format (u.user, u.item,
+    u1.base, u1.test) so the real parser path is testable offline."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirname, exist_ok=True)
+    occupations = ["engineer", "artist", "doctor", "student"]
+    with open(os.path.join(dirname, "u.user"), "w") as f:
+        for uid in range(1, num_users + 1):
+            f.write(f"{uid}|{rng.randint(18, 70)}|"
+                    f"{'MF'[rng.randint(2)]}|"
+                    f"{occupations[rng.randint(len(occupations))]}|00000\n")
+    with open(os.path.join(dirname, "u.item"), "w") as f:
+        for mid in range(1, num_items + 1):
+            genres = np.zeros(len(GENRES_ML_100K), np.int32)
+            genres[rng.randint(len(genres))] = 1
+            year = rng.randint(1950, 2000)
+            f.write(f"{mid}|Movie {mid} ({year})|01-Jan-{year}||"
+                    "http://example.com|"
+                    + "|".join(map(str, genres)) + "\n")
+    users, items, vals = synthetic_ratings(
+        num_users, num_items, num_edges, seed=seed)
+    # ensure coverage of all ids (drop-unseen would otherwise shrink maps)
+    users = np.concatenate([users, np.arange(num_users)])
+    items = np.concatenate([items, rng.randint(0, num_items, num_users)])
+    vals = np.concatenate([vals, rng.choice([1, 2, 3, 4, 5], num_users)])
+    users2 = np.concatenate([users, rng.randint(0, num_users, num_items)])
+    items2 = np.concatenate([items, np.arange(num_items)])
+    vals2 = np.concatenate([vals, rng.choice([1, 2, 3, 4, 5], num_items)])
+    keys = users2.astype(np.int64) * num_items + items2
+    _, first = np.unique(keys, return_index=True)
+    first = np.sort(first)
+    users2, items2, vals2 = users2[first], items2[first], vals2[first]
+    n = users2.size
+    n_test = max(1, n // 5)
+    perm = rng.permutation(n)
+    ts = 880000000
+    for fname, sel in [("u1.base", perm[n_test:]), ("u1.test", perm[:n_test])]:
+        with open(os.path.join(dirname, fname), "w") as f:
+            for j in sel:
+                f.write(f"{users2[j] + 1}\t{items2[j] + 1}\t"
+                        f"{int(vals2[j])}\t{ts}\n")

@@ -1,0 +1,249 @@
+"""Host graph kernels: native C++ fast path with NumPy fallback.
+
+The native extension ``stargcn_tpu.native._graph_kernels`` (built from
+``stargcn_tpu/native/graph_kernels.cpp``) provides the TPU-era equivalent
+of the reference ``GraphSampler`` C++/OpenMP module
+(``GraphSampler/py_ext.cpp:612-627``, 13 exported functions).  Every
+function here has an identical-semantics NumPy implementation used when
+the extension is not compiled, so the pure-Python package is always
+functional and the two are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # pragma: no cover - exercised when the extension is built
+    from stargcn_tpu.native import _graph_kernels as _native
+except ImportError:  # pragma: no cover
+    _native = None
+
+_seed_state = {"seed": 0}
+
+
+def has_native() -> bool:
+    return _native is not None
+
+
+def set_seed(seed: int) -> None:
+    """Seed the native sampler engines (reference ``py_ext.cpp`` ``set_seed``
+    → 128 seeded mt19937 engines, ``graph_sampler.h:176-202``)."""
+    _seed_state["seed"] = int(seed)
+    if _native is not None:
+        _native.set_seed(int(seed))
+
+
+def unique_inverse(arr: np.ndarray):
+    """Order-of-first-occurrence unique + inverse indices.
+
+    Reference: C++ ``unique_inverse`` (``graph_sampler.h:396-565``).  Note
+    ``np.unique`` sorts — the reference does NOT; first-occurrence order is
+    part of the contract that downstream id-merging relies on.
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.int32)
+    if _native is not None:
+        return _native.unique_inverse(arr)
+    uniq_sorted, first_idx, inv_sorted = np.unique(
+        arr, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    uniq = uniq_sorted[order]
+    remap = np.empty_like(order)
+    remap[order] = np.arange(order.size)
+    return uniq.astype(np.int32), remap[inv_sorted].astype(np.int32).ravel()
+
+
+def unique_cnt(arr: np.ndarray):
+    """Unique (first-occurrence order) + counts (reference ``unique_cnt``)."""
+    arr = np.ascontiguousarray(arr, dtype=np.int32)
+    if _native is not None:
+        return _native.unique_cnt(arr)
+    uniq, inv = unique_inverse(arr)
+    cnt = np.zeros(uniq.size, dtype=np.int32)
+    np.add.at(cnt, inv, 1)
+    return uniq, cnt
+
+
+def take_1d(data: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Parallel 1-D gather (reference ``take_1d_omp``)."""
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    if _native is not None and data.dtype in (np.int32, np.float32):
+        return _native.take_1d(np.ascontiguousarray(data), indices)
+    return np.take(data, indices)
+
+
+def row_indices_from_indptr(ind_ptr: np.ndarray, nnz: int) -> np.ndarray:
+    """CSR -> COO row expansion (reference ``gen_row_indices_by_indptr``,
+    ``graph_sampler.cpp:378-391``)."""
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    if _native is not None:
+        return _native.gen_row_indices_by_indptr(ind_ptr, int(nnz))
+    return np.repeat(
+        np.arange(ind_ptr.size - 1, dtype=np.int32),
+        np.diff(ind_ptr)).astype(np.int32)
+
+
+def seg_sum(data: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    """CPU segment sum (reference ``seg_sum`` template,
+    ``graph_sampler.h:339-394``)."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    if _native is not None:
+        return _native.seg_sum(data, indptr)
+    return np.add.reduceat_like_segments(data, indptr) if False else \
+        _npy_seg_sum(data, indptr)
+
+
+def _npy_seg_sum(data, indptr):
+    seg_ids = np.repeat(np.arange(indptr.size - 1), np.diff(indptr))
+    out = np.zeros(indptr.size - 1, dtype=np.float32)
+    np.add.at(out, seg_ids, data)
+    return out
+
+
+def seg_add(lhs: np.ndarray, rhs: np.ndarray, indptr: np.ndarray):
+    """``out[j] = lhs[j] + rhs[seg(j)]`` (reference ``seg_add``)."""
+    lhs = np.ascontiguousarray(lhs, dtype=np.float32)
+    rhs = np.ascontiguousarray(rhs, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    if _native is not None:
+        return _native.seg_add(lhs, rhs, indptr)
+    return lhs + np.repeat(rhs, np.diff(indptr))
+
+
+def seg_mul(lhs: np.ndarray, rhs: np.ndarray, indptr: np.ndarray):
+    """``out[j] = lhs[j] * rhs[seg(j)]`` (reference ``seg_mul``)."""
+    lhs = np.ascontiguousarray(lhs, dtype=np.float32)
+    rhs = np.ascontiguousarray(rhs, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    if _native is not None:
+        return _native.seg_mul(lhs, rhs, indptr)
+    return lhs * np.repeat(rhs, np.diff(indptr))
+
+
+def get_support(row_degrees, col_degrees, ind_ptr, end_points, symm=True):
+    """Per-edge support (reference C++ ``get_support``,
+    ``graph_sampler.cpp:393-420``)."""
+    row_degrees = np.ascontiguousarray(row_degrees, dtype=np.int32)
+    col_degrees = np.ascontiguousarray(col_degrees, dtype=np.int32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    if _native is not None:
+        return _native.get_support(row_degrees, col_degrees, ind_ptr,
+                                   end_points, int(symm))
+    nnz = end_points.size
+    row_per_edge = np.repeat(np.arange(ind_ptr.size - 1), np.diff(ind_ptr))
+    r_deg = row_degrees[row_per_edge].astype(np.float64)
+    out = np.zeros(nnz, dtype=np.float32)
+    if symm:
+        c_deg = col_degrees[end_points].astype(np.float64)
+        ok = (r_deg != 0) & (c_deg != 0)
+        out[ok] = np.sqrt(1.0 / r_deg[ok] / c_deg[ok]).astype(np.float32)
+    else:
+        ok = r_deg != 0
+        out[ok] = (1.0 / r_deg[ok]).astype(np.float32)
+    return out
+
+
+def csr_submat(ind_ptr, end_points, row_indices, col_indices, num_cols):
+    """Row/col submatrix extraction.
+
+    Reference: ``slice_csr_mat`` (``graph_sampler.cpp:31-152``) — keeps
+    edges whose column is in ``col_indices``, remapping columns to the new
+    index space.  Returns ``(new_ind_ptr, new_end_points, edge_idx)`` where
+    ``edge_idx`` indexes the original edge arrays (for value slicing).
+    """
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    row_indices = np.ascontiguousarray(row_indices, dtype=np.int32)
+    col_indices = np.ascontiguousarray(col_indices, dtype=np.int32)
+    if _native is not None:
+        return _native.csr_submat(ind_ptr, end_points, row_indices,
+                                  col_indices, int(num_cols))
+    col_map = np.full(num_cols, -1, dtype=np.int32)
+    col_map[col_indices] = np.arange(col_indices.size, dtype=np.int32)
+    new_ind_ptr = np.zeros(row_indices.size + 1, dtype=np.int32)
+    new_end_points, edge_idx = [], []
+    for i, r in enumerate(row_indices):
+        sl = slice(ind_ptr[r], ind_ptr[r + 1])
+        cols = col_map[end_points[sl]]
+        keep = cols >= 0
+        new_end_points.append(cols[keep])
+        edge_idx.append(np.arange(sl.start, sl.stop)[keep])
+        new_ind_ptr[i + 1] = new_ind_ptr[i] + int(keep.sum())
+    return (new_ind_ptr,
+            (np.concatenate(new_end_points) if new_end_points
+             else np.array([], np.int32)).astype(np.int32),
+            (np.concatenate(edge_idx) if edge_idx
+             else np.array([], np.int64)).astype(np.int64))
+
+
+def multi_link_split(edge_values, ind_ptr, multi_link):
+    """Partition edges into per-rating-value index lists + per-value indptr.
+
+    Reference: ``multi_link_split_impl`` (``graph_sampler.cpp:277-376``).
+    Returns ``(split_indices, ind_ptr_l)``: for each rating value ``v`` in
+    ``multi_link`` (sorted), the edge positions with that value (in CSR
+    order) and the per-row indptr of the resulting sub-CSR.
+    """
+    edge_values = np.ascontiguousarray(edge_values, dtype=np.float32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    multi_link = np.ascontiguousarray(multi_link, dtype=np.float32)
+    if _native is not None:
+        return _native.multi_link_split(edge_values, ind_ptr, multi_link)
+    num_rows = ind_ptr.size - 1
+    row_per_edge = np.repeat(np.arange(num_rows), np.diff(ind_ptr))
+    split_indices, ind_ptr_l = [], []
+    for v in multi_link:
+        sel = np.nonzero(edge_values == v)[0].astype(np.int32)
+        split_indices.append(sel)
+        new_ptr = np.zeros(num_rows + 1, dtype=np.int32)
+        np.add.at(new_ptr[1:], row_per_edge[sel], 1)
+        ind_ptr_l.append(np.cumsum(new_ptr).astype(np.int32))
+    return split_indices, ind_ptr_l
+
+
+def random_sample_fix_neighbor(ind_ptr, sel_indices, num_neighbors,
+                               seed=None):
+    """Fixed-fanout sampling without replacement per selected row.
+
+    Reference: ``GraphSampler::random_sample_fix_neighbor``
+    (``graph_sampler.cpp:742-780``).  ``num_neighbors < 0`` keeps all
+    neighbors (in order).  Returns ``(sampled_edge_indices, new_ind_ptr)``.
+    """
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    sel_indices = np.ascontiguousarray(sel_indices, dtype=np.int32)
+    if _native is not None:
+        return _native.random_sample_fix_neighbor(ind_ptr, sel_indices,
+                                                  int(num_neighbors))
+    rng = np.random.RandomState(
+        _seed_state["seed"] if seed is None else seed)
+    degs = ind_ptr[sel_indices + 1] - ind_ptr[sel_indices]
+    if num_neighbors < 0:
+        take = degs
+    else:
+        take = np.minimum(degs, num_neighbors)
+    new_ind_ptr = np.concatenate([[0], np.cumsum(take)]).astype(np.int32)
+    out = np.empty(int(new_ind_ptr[-1]), dtype=np.int64)
+    for i, r in enumerate(sel_indices):
+        beg, end = ind_ptr[r], ind_ptr[r + 1]
+        n = take[i]
+        if n == end - beg:
+            out[new_ind_ptr[i]:new_ind_ptr[i + 1]] = np.arange(beg, end)
+        else:
+            out[new_ind_ptr[i]:new_ind_ptr[i + 1]] = rng.choice(
+                np.arange(beg, end), size=n, replace=False)
+    return out, new_ind_ptr
+
+
+def remove_edges_by_indices(ind_ptr, end_points, remove_edge_idx):
+    """New CSR without the edges at the given positions (reference
+    ``remove_edges``/``remove_edges_omp``, ``graph_sampler.cpp:154-275``).
+    Returns ``(new_ind_ptr, keep_mask)``."""
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    nnz = int(ind_ptr[-1])
+    keep = np.ones(nnz, dtype=bool)
+    keep[np.asarray(remove_edge_idx, dtype=np.int64)] = False
+    row_per_edge = np.repeat(np.arange(ind_ptr.size - 1), np.diff(ind_ptr))
+    new_ptr = np.zeros(ind_ptr.size, dtype=np.int32)
+    np.add.at(new_ptr[1:], row_per_edge[keep], 1)
+    return np.cumsum(new_ptr).astype(np.int32), keep

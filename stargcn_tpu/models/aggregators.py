@@ -1,0 +1,95 @@
+"""Per-rating-level GCN aggregators (flax.linen, full-graph edge arrays).
+
+Re-design of the reference ``GCNAggregator``/``MultiLinkGCNAggregator``
+(``mxgraph/layers/aggregators.py:21-163``).  The reference loops over
+rating levels, launching one FullyConnected + ``seg_weighted_pool`` per
+level on per-level CSR slices; here all levels run as one batched
+projection (a single MXU contraction) + one fused gather/segment-sum over
+the flat edge arrays (``stargcn_tpu.ops.agg``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stargcn_tpu.models.common import get_activation, xavier_in
+from stargcn_tpu.ops.agg import multi_link_aggregate, multi_link_project
+
+
+class MultiLinkGCNAggregator(nn.Module):
+    """Multi-link graph-conv aggregator.
+
+    Semantics match ``aggregators.py:58-163``:
+
+    * 'stack' accumulation splits ``units`` across links
+      (``units // num_links`` each, concatenated); 'sum' gives every link
+      ``units`` and adds (``aggregators.py:79-81, 151-159``).
+    * optional ordinal weight sharing ``W_i = sum_{j<=i} w_j``
+      (``aggregators.py:133-140``).
+    * dropout is applied to the SOURCE features before projection
+      (``aggregators.py:131``), so each source node's mask is shared by
+      all its outgoing edges.
+    * the per-link bias rides through the support-weighted pooling, like
+      the reference's FC-then-pool order.
+
+    Call with full-graph edge arrays; ``support`` must already carry the
+    edge mask and degree normalisation.
+    """
+
+    units: int
+    num_links: int
+    act: Optional[str] = None
+    dropout_rate: float = 0.0
+    ordinal_sharing: bool = False
+    accum: str = "stack"
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
+                 num_dst, *, train: bool = False, dense_support=None):
+        if self.accum == "stack":
+            assert self.units % self.num_links == 0, (
+                "units must be divisible by num_links for 'stack'")
+            link_units = self.units // self.num_links
+        elif self.accum == "sum":
+            link_units = self.units
+        else:
+            raise NotImplementedError(self.accum)
+        weight = self.param(
+            "weight", xavier_in,
+            (self.num_links, x_src.shape[-1], link_units))
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_links, link_units))
+
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x_src)
+        proj = multi_link_project(x, weight, bias,
+                                  ordinal_sharing=self.ordinal_sharing)
+        out = multi_link_aggregate(
+            proj, edge_src, edge_dst, edge_rating, support, num_dst,
+            accum=self.accum, backend=self.backend,
+            dense_support=dense_support)
+        return get_activation(self.act)(out)
+
+
+class GCNAggregator(nn.Module):
+    """Single-link aggregator == MultiLink with ``num_links=1``
+    (``aggregators.py:21-55``)."""
+
+    units: int
+    act: Optional[str] = None
+    dropout_rate: float = 0.0
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x_src, edge_src, edge_dst, support, num_dst, *,
+                 train: bool = False):
+        agg = MultiLinkGCNAggregator(
+            units=self.units, num_links=1, act=self.act,
+            dropout_rate=self.dropout_rate, backend=self.backend)
+        edge_rating = jnp.zeros_like(edge_src)
+        return agg(x_src, edge_src, edge_dst, edge_rating, support, num_dst,
+                   train=train)

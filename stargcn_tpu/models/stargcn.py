@@ -1,0 +1,238 @@
+"""STAR-GCN: stacked & reconstructed GCN for rating prediction (TPU mode).
+
+Re-design of the reference ``Net`` (``experiments/STAR-GCN.py:167-461``)
+as a single full-graph flax module.  The reference's forward is two-phase:
+a host-side top-down PLAN over sampled subgraphs
+(``STAR-GCN.py:372-397``) followed by a bottom-up device EXECUTE
+(``STAR-GCN.py:399-460``).  Here there is no planning phase — every block
+propagates over the whole (masked) graph in one jitted program, which is
+mathematically identical to the reference when ``NUM_NEIGHBORS = -1``
+(every shipped config, ``experiments/cfg/*.yml``) and removes the
+reference's per-iteration host/C++/device round trips.
+
+Masked-embedding semantics (``STAR-GCN.py:264-300``): input node ids come
+from a full-size noise array where ``-1`` means "mask to zero embedding";
+reconstruction targets are the unmasked embedding rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stargcn_tpu.graph.device import BipartiteGraphData
+from stargcn_tpu.models.common import get_activation, uniform_sym, xavier_in
+from stargcn_tpu.models.layers import (
+    InnerProductLayer,
+    Relation,
+    StackedHeterGCNLayers,
+)
+from stargcn_tpu.ops.agg import edge_support, masked_degrees
+
+
+@dataclasses.dataclass(frozen=True)
+class STARGCNConfig:
+    """Model hyperparameters (mirrors the cfg tree of
+    ``experiments/STAR-GCN.py:34-95``)."""
+
+    num_users: int
+    num_items: int
+    num_links: int
+    # MODEL.*
+    use_embed: bool = True
+    use_fea_proj: bool = False
+    recon_fea: bool = False
+    use_dae: bool = True
+    nblocks: int = 2
+    use_recurrent: bool = False  # share weights across blocks
+    activation: str = "leaky"
+    # FEA.*
+    fea_mid_map: int = 16
+    fea_units: int = 16
+    # EMBED.*
+    embed_units: int = 64
+    # GCN.*
+    gcn_dropout: float = 0.7
+    gcn_use_recurrent: bool = False  # share weights across depth
+    agg_norm_symm: bool = True
+    agg_units: tuple = (500,)
+    agg_accum: str = "stack"
+    agg_ordinal_sharing: bool = False
+    out_units: tuple = (75,)
+    # GEN_RATING.*
+    gen_rating_mid_map: int = 64
+    # kernel backend for the aggregation ('xla' | 'dense' | 'pallas')
+    backend: str = "xla"
+
+    def __post_init__(self):
+        assert self.use_embed or self.use_fea_proj
+        if self.nblocks > 1:
+            assert self.use_dae, "stacked blocks require the DAE structure"
+        assert len(self.agg_units) == len(self.out_units)
+
+
+class STARGCN(nn.Module):
+    """The full network: embeddings -> [encoder -> heads -> decoder] x B.
+
+    ``__call__`` inputs (all static-shape):
+      graph: ``BipartiteGraphData`` edge arrays.
+      edge_mask: ``(E_pad,)`` float — 1 for edges present in this step's
+        graph (pad mask x graph-variant mask x per-batch removal).
+      noise_user / noise_item: ``(N,)`` int32 full-size noise arrays
+        (-1 = mask embedding to zero, else the node's own id); pass
+        ``None`` for no masking.
+      pairs_user / pairs_item: ``(B,)`` int32 rating-pair node indices.
+      user_features / item_features: raw feature matrices (only read when
+        ``use_fea_proj``).
+
+    Returns a dict with ``pred_ratings`` ``(nblocks, B)`` (normalised
+    scores), ``pred_embed`` (per block ``{'user','item'}`` full-graph
+    reconstructed embeddings), and ``gt_embed`` (unmasked embedding
+    tables, the reconstruction target — ``STAR-GCN.py:360-366``).
+    """
+
+    cfg: STARGCNConfig
+
+    @nn.compact
+    def __call__(self, graph: BipartiteGraphData, edge_mask, noise_user,
+                 noise_item, pairs_user, pairs_item, user_features=None,
+                 item_features=None, *, train: bool = False):
+        cfg = self.cfg
+        act = get_activation(cfg.activation)
+
+        # ---- support on the masked graph (reference recomputes support on
+        # every edge-removed graph: graph.py:414-429) ----
+        mask = edge_mask * graph.edge_pad_mask
+        deg_u, deg_i = masked_degrees(
+            graph.edge_user, graph.edge_item, mask,
+            graph.num_users, graph.num_items)
+        if cfg.agg_norm_symm:
+            sup = edge_support(deg_u, deg_i, graph.edge_user,
+                               graph.edge_item, mask, symm=True)
+            sup_u = sup_i = sup
+        else:
+            # target user <- movie: support rows are users (1/d_user)
+            sup_u = edge_support(deg_u, deg_i, graph.edge_user,
+                                 graph.edge_item, mask, symm=False)
+            sup_i = edge_support(deg_i, deg_u, graph.edge_item,
+                                 graph.edge_user, mask, symm=False)
+        relations = {
+            ("user", "item"): Relation(
+                edge_src=graph.edge_item, edge_dst=graph.edge_user,
+                edge_rating=graph.edge_rating, support=sup_u,
+                num_links=graph.num_links),
+            ("item", "user"): Relation(
+                edge_src=graph.edge_user, edge_dst=graph.edge_item,
+                edge_rating=graph.edge_rating, support=sup_i,
+                num_links=graph.num_links),
+        }
+        meta = {"user": ["item"], "item": ["user"]}
+
+        # ---- embeddings with noise masking (STAR-GCN.py:264-300) ----
+        gt_embed = {}
+        input_feat = {}
+        if cfg.use_embed:
+            embed_u = nn.Embed(cfg.num_users, cfg.embed_units,
+                               embedding_init=uniform_sym(0.1),
+                               name="embed_user")
+            embed_i = nn.Embed(cfg.num_items, cfg.embed_units,
+                               embedding_init=uniform_sym(0.1),
+                               name="embed_item")
+            gt_embed = {"user": embed_u.embedding, "item": embed_i.embedding}
+            input_feat = {
+                "user": _masked_embed(embed_u, noise_user, cfg.num_users),
+                "item": _masked_embed(embed_i, noise_item, cfg.num_items),
+            }
+        fea_proj = {}
+        if cfg.use_fea_proj:
+            for key, fea in (("user", user_features), ("item", item_features)):
+                h = nn.Dense(cfg.fea_mid_map, kernel_init=xavier_in,
+                             name=f"fea_map_{key}_l0")(fea)
+                h = act(h)
+                h = nn.Dense(cfg.fea_units, kernel_init=xavier_in,
+                             name=f"fea_map_{key}_l1")(h)
+                fea_proj[key] = h
+            if cfg.use_embed:
+                input_feat = {
+                    k: jnp.concatenate([input_feat[k], fea_proj[k]], axis=-1)
+                    for k in input_feat}
+            else:
+                input_feat = dict(fea_proj)
+
+        out_emb_units = cfg.embed_units + (
+            cfg.fea_units if (cfg.use_fea_proj and cfg.recon_fea) else 0)
+        if cfg.use_fea_proj and cfg.recon_fea:
+            gt_embed = {k: jnp.concatenate([gt_embed[k], fea_proj[k]], -1)
+                        for k in gt_embed}
+
+        # ---- blocks ----
+        layer_cfgs = [
+            dict(meta=meta, agg_units=au, out_units=ou,
+                 dropout_rate=cfg.gcn_dropout,
+                 agg_ordinal_sharing=cfg.agg_ordinal_sharing,
+                 agg_accum=cfg.agg_accum, agg_act=cfg.activation,
+                 out_act=cfg.activation, backend=cfg.backend)
+            for au, ou in zip(cfg.agg_units, cfg.out_units)
+        ]
+        recurrent_depth = (len(cfg.agg_units)
+                           if cfg.gcn_use_recurrent else None)
+
+        pred_ratings, pred_embed = [], []
+        feats = input_feat
+        for block_id in range(cfg.nblocks):
+            pidx = 0 if cfg.use_recurrent else block_id
+            encoder = StackedHeterGCNLayers(
+                layer_cfgs=(layer_cfgs[:1] if recurrent_depth else
+                            layer_cfgs),
+                recurrent_layer_num=recurrent_depth,
+                name=f"enc_b{pidx}")
+            output = encoder(feats, relations, train=train)
+
+            # rating head (STAR-GCN.py:428-438)
+            u_rows = jnp.take(output["user"], pairs_user, axis=0)
+            i_rows = jnp.take(output["item"], pairs_item, axis=0)
+            u_rows = nn.Dense(cfg.gen_rating_mid_map, kernel_init=xavier_in,
+                              name=f"rating_user_proj_b{pidx}")(u_rows)
+            i_rows = nn.Dense(cfg.gen_rating_mid_map, kernel_init=xavier_in,
+                              name=f"rating_item_proj_b{pidx}")(i_rows)
+            score = InnerProductLayer(name="gen_ratings")(u_rows, i_rows)
+            pred_ratings.append(score[:, 0])
+
+            # decoder / next-block input (STAR-GCN.py:441-459): the same
+            # embed_map serves both, so compute it once over all nodes.
+            if cfg.use_dae:
+                mapped = {}
+                for key in ("user", "item"):
+                    h = nn.Dense(out_emb_units, kernel_init=xavier_in,
+                                 name=f"embed_map_b{pidx}_{key}_l0")(
+                                     output[key])
+                    h = act(h)
+                    h = nn.Dense(out_emb_units, kernel_init=xavier_in,
+                                 name=f"embed_map_b{pidx}_{key}_l1")(h)
+                    mapped[key] = h
+                pred_embed.append(mapped)
+                if block_id < cfg.nblocks - 1:
+                    feats = mapped
+                    if cfg.use_fea_proj and not cfg.recon_fea:
+                        feats = {k: jnp.concatenate([feats[k], fea_proj[k]],
+                                                    -1) for k in feats}
+
+        return {
+            "pred_ratings": jnp.stack(pred_ratings, axis=0),
+            "pred_embed": pred_embed,
+            "gt_embed": gt_embed,
+        }
+
+
+def _masked_embed(embed: nn.Embed, noise, num_nodes: int):
+    """Gather embeddings through the noise array (-1 -> zero vector)."""
+    if noise is None:
+        ids = jnp.arange(num_nodes, dtype=jnp.int32)
+        return embed(ids)
+    keep = (noise != -1)
+    ids = jnp.where(keep, noise, 0)
+    return embed(ids) * keep[:, None].astype(jnp.float32)

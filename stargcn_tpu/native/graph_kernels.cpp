@@ -1,0 +1,546 @@
+// Host-side graph kernels for stargcn_tpu — C++/OpenMP CPython extension.
+//
+// TPU-native replacement for the reference GraphSampler module
+// (reference: /root/reference/GraphSampler/{graph_sampler.h,graph_sampler.cpp,
+// py_ext.cpp}; 13 exported functions listed at py_ext.cpp:612-627).  The
+// implementation is written from scratch against the same functional
+// contracts; it feeds fixed-shape NumPy arrays to the JAX/XLA device path.
+//
+// Exported functions (int32/float32 contiguous-array contract, mirroring the
+// reference binding):
+//   set_seed, unique_inverse, unique_cnt, take_1d,
+//   gen_row_indices_by_indptr, seg_sum, seg_add, seg_mul, get_support,
+//   csr_submat, multi_link_split, random_sample_fix_neighbor,
+//   remove_edges_by_indices
+//
+// Built with: -O3 -fopenmp (see stargcn_tpu/native/setup.py).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int kMaxEngines = 128;
+// Per-thread RNG engines, seeded together (reference keeps 128 seeded
+// mt19937 engines, graph_sampler.h:176-202).
+std::vector<std::mt19937> g_engines;
+
+void seed_engines(uint64_t seed) {
+  g_engines.clear();
+  g_engines.reserve(kMaxEngines);
+  std::seed_seq seq{static_cast<uint32_t>(seed),
+                    static_cast<uint32_t>(seed >> 32), 0x9e3779b9u};
+  std::vector<uint32_t> seeds(kMaxEngines);
+  seq.generate(seeds.begin(), seeds.end());
+  for (int i = 0; i < kMaxEngines; ++i) g_engines.emplace_back(seeds[i]);
+}
+
+std::mt19937& engine_for_thread() {
+  if (g_engines.empty()) seed_engines(0);
+#ifdef _OPENMP
+  int tid = omp_get_thread_num() % kMaxEngines;
+#else
+  int tid = 0;
+#endif
+  return g_engines[tid];
+}
+
+int num_threads_capped() {
+#ifdef _OPENMP
+  int n = omp_get_max_threads();
+  return n > 16 ? 16 : n;
+#else
+  return 1;
+#endif
+}
+
+// --- small helpers to pull typed contiguous arrays out of args ---
+
+struct I32View {
+  PyArrayObject* arr;
+  const int32_t* data;
+  npy_intp size;
+};
+
+bool as_i32(PyObject* obj, I32View* out) {
+  PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(obj, NPY_INT32, NPY_ARRAY_IN_ARRAY));
+  if (!arr) return false;
+  out->arr = arr;
+  out->data = static_cast<const int32_t*>(PyArray_DATA(arr));
+  out->size = PyArray_SIZE(arr);
+  return true;
+}
+
+struct F32View {
+  PyArrayObject* arr;
+  const float* data;
+  npy_intp size;
+};
+
+bool as_f32(PyObject* obj, F32View* out) {
+  PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(obj, NPY_FLOAT32, NPY_ARRAY_IN_ARRAY));
+  if (!arr) return false;
+  out->arr = arr;
+  out->data = static_cast<const float*>(PyArray_DATA(arr));
+  out->size = PyArray_SIZE(arr);
+  return true;
+}
+
+PyObject* make_i32(const std::vector<int32_t>& v) {
+  npy_intp dims[1] = {static_cast<npy_intp>(v.size())};
+  PyObject* arr = PyArray_SimpleNew(1, dims, NPY_INT32);
+  if (arr) {
+    std::copy(v.begin(), v.end(), static_cast<int32_t*>(PyArray_DATA(
+        reinterpret_cast<PyArrayObject*>(arr))));
+  }
+  return arr;
+}
+
+PyObject* make_i64(const std::vector<int64_t>& v) {
+  npy_intp dims[1] = {static_cast<npy_intp>(v.size())};
+  PyObject* arr = PyArray_SimpleNew(1, dims, NPY_INT64);
+  if (arr) {
+    std::copy(v.begin(), v.end(), static_cast<int64_t*>(PyArray_DATA(
+        reinterpret_cast<PyArrayObject*>(arr))));
+  }
+  return arr;
+}
+
+PyObject* make_f32(const std::vector<float>& v) {
+  npy_intp dims[1] = {static_cast<npy_intp>(v.size())};
+  PyObject* arr = PyArray_SimpleNew(1, dims, NPY_FLOAT32);
+  if (arr) {
+    std::copy(v.begin(), v.end(), static_cast<float*>(PyArray_DATA(
+        reinterpret_cast<PyArrayObject*>(arr))));
+  }
+  return arr;
+}
+
+// ------------------------- exported functions -------------------------
+
+PyObject* py_set_seed(PyObject*, PyObject* args) {
+  unsigned long long seed;
+  if (!PyArg_ParseTuple(args, "K", &seed)) return nullptr;
+  seed_engines(seed);
+  Py_RETURN_NONE;
+}
+
+// Order-of-first-occurrence unique + inverse indices
+// (contract of reference unique_inverse, graph_sampler.h:396-565).
+PyObject* py_unique_inverse(PyObject*, PyObject* args) {
+  PyObject* in;
+  if (!PyArg_ParseTuple(args, "O", &in)) return nullptr;
+  I32View a;
+  if (!as_i32(in, &a)) return nullptr;
+  std::vector<int32_t> uniq;
+  std::vector<int32_t> inverse(a.size);
+  std::unordered_map<int32_t, int32_t> seen;
+  seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
+  for (npy_intp i = 0; i < a.size; ++i) {
+    auto it = seen.find(a.data[i]);
+    if (it == seen.end()) {
+      int32_t idx = static_cast<int32_t>(uniq.size());
+      seen.emplace(a.data[i], idx);
+      uniq.push_back(a.data[i]);
+      inverse[i] = idx;
+    } else {
+      inverse[i] = it->second;
+    }
+  }
+  Py_DECREF(a.arr);
+  PyObject* u = make_i32(uniq);
+  PyObject* inv = make_i32(inverse);
+  return PyTuple_Pack(2, u, inv);
+}
+
+PyObject* py_unique_cnt(PyObject*, PyObject* args) {
+  PyObject* in;
+  if (!PyArg_ParseTuple(args, "O", &in)) return nullptr;
+  I32View a;
+  if (!as_i32(in, &a)) return nullptr;
+  std::vector<int32_t> uniq;
+  std::vector<int32_t> cnt;
+  std::unordered_map<int32_t, int32_t> seen;
+  seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
+  for (npy_intp i = 0; i < a.size; ++i) {
+    auto it = seen.find(a.data[i]);
+    if (it == seen.end()) {
+      seen.emplace(a.data[i], static_cast<int32_t>(uniq.size()));
+      uniq.push_back(a.data[i]);
+      cnt.push_back(1);
+    } else {
+      ++cnt[it->second];
+    }
+  }
+  Py_DECREF(a.arr);
+  PyObject* u = make_i32(uniq);
+  PyObject* c = make_i32(cnt);
+  return PyTuple_Pack(2, u, c);
+}
+
+// Parallel 1-D gather (reference take_1d_omp).
+PyObject* py_take_1d(PyObject*, PyObject* args) {
+  PyObject *data_obj, *idx_obj;
+  if (!PyArg_ParseTuple(args, "OO", &data_obj, &idx_obj)) return nullptr;
+  I32View idx;
+  if (!as_i32(idx_obj, &idx)) return nullptr;
+  PyArrayObject* data = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OF(data_obj, NPY_ARRAY_IN_ARRAY));
+  if (!data) { Py_DECREF(idx.arr); return nullptr; }
+  int type = PyArray_TYPE(data);
+  if (type != NPY_INT32 && type != NPY_FLOAT32) {
+    Py_DECREF(idx.arr); Py_DECREF(data);
+    PyErr_SetString(PyExc_TypeError, "take_1d: data must be int32/float32");
+    return nullptr;
+  }
+  npy_intp dims[1] = {idx.size};
+  PyObject* out_obj = PyArray_SimpleNew(1, dims, type);
+  if (type == NPY_INT32) {
+    const int32_t* d = static_cast<const int32_t*>(PyArray_DATA(data));
+    int32_t* o = static_cast<int32_t*>(PyArray_DATA(
+        reinterpret_cast<PyArrayObject*>(out_obj)));
+#pragma omp parallel for num_threads(num_threads_capped())
+    for (npy_intp i = 0; i < idx.size; ++i) o[i] = d[idx.data[i]];
+  } else {
+    const float* d = static_cast<const float*>(PyArray_DATA(data));
+    float* o = static_cast<float*>(PyArray_DATA(
+        reinterpret_cast<PyArrayObject*>(out_obj)));
+#pragma omp parallel for num_threads(num_threads_capped())
+    for (npy_intp i = 0; i < idx.size; ++i) o[i] = d[idx.data[i]];
+  }
+  Py_DECREF(idx.arr);
+  Py_DECREF(data);
+  return out_obj;
+}
+
+// CSR -> COO row expansion (reference gen_row_indices_by_indptr,
+// graph_sampler.cpp:378-391).
+PyObject* py_gen_row_indices(PyObject*, PyObject* args) {
+  PyObject* indptr_obj;
+  long long nnz;
+  if (!PyArg_ParseTuple(args, "OL", &indptr_obj, &nnz)) return nullptr;
+  I32View p;
+  if (!as_i32(indptr_obj, &p)) return nullptr;
+  npy_intp dims[1] = {static_cast<npy_intp>(nnz)};
+  PyObject* out_obj = PyArray_SimpleNew(1, dims, NPY_INT32);
+  int32_t* o = static_cast<int32_t*>(PyArray_DATA(
+      reinterpret_cast<PyArrayObject*>(out_obj)));
+  npy_intp rows = p.size - 1;
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < rows; ++i) {
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) o[j] = (int32_t)i;
+  }
+  Py_DECREF(p.arr);
+  return out_obj;
+}
+
+// CPU segment arithmetic (reference seg_sum/seg_add/seg_mul templates,
+// graph_sampler.h:339-394).
+PyObject* py_seg_sum(PyObject*, PyObject* args) {
+  PyObject *d_obj, *p_obj;
+  if (!PyArg_ParseTuple(args, "OO", &d_obj, &p_obj)) return nullptr;
+  F32View d; I32View p;
+  if (!as_f32(d_obj, &d)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(d.arr); return nullptr; }
+  npy_intp segs = p.size - 1;
+  std::vector<float> out(segs, 0.f);
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < segs; ++i) {
+    float acc = 0.f;
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) acc += d.data[j];
+    out[i] = acc;
+  }
+  Py_DECREF(d.arr); Py_DECREF(p.arr);
+  return make_f32(out);
+}
+
+enum class SegBinOp { kAdd, kMul };
+
+PyObject* seg_binary(PyObject* args, SegBinOp op) {
+  PyObject *l_obj, *r_obj, *p_obj;
+  if (!PyArg_ParseTuple(args, "OOO", &l_obj, &r_obj, &p_obj)) return nullptr;
+  F32View l, r; I32View p;
+  if (!as_f32(l_obj, &l)) return nullptr;
+  if (!as_f32(r_obj, &r)) { Py_DECREF(l.arr); return nullptr; }
+  if (!as_i32(p_obj, &p)) { Py_DECREF(l.arr); Py_DECREF(r.arr); return nullptr; }
+  std::vector<float> out(l.size);
+  npy_intp segs = p.size - 1;
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < segs; ++i) {
+    float v = r.data[i];
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+      out[j] = (op == SegBinOp::kAdd) ? l.data[j] + v : l.data[j] * v;
+    }
+  }
+  Py_DECREF(l.arr); Py_DECREF(r.arr); Py_DECREF(p.arr);
+  return make_f32(out);
+}
+
+PyObject* py_seg_add(PyObject*, PyObject* args) {
+  return seg_binary(args, SegBinOp::kAdd);
+}
+PyObject* py_seg_mul(PyObject*, PyObject* args) {
+  return seg_binary(args, SegBinOp::kMul);
+}
+
+// Per-edge GCN support: 1/sqrt(d_row*d_col) (symm) or 1/d_row
+// (reference get_support, graph_sampler.cpp:393-420).
+PyObject* py_get_support(PyObject*, PyObject* args) {
+  PyObject *rd_obj, *cd_obj, *p_obj, *ep_obj;
+  int symm;
+  if (!PyArg_ParseTuple(args, "OOOOi", &rd_obj, &cd_obj, &p_obj, &ep_obj,
+                        &symm)) return nullptr;
+  I32View rd, cd, p, ep;
+  if (!as_i32(rd_obj, &rd)) return nullptr;
+  if (!as_i32(cd_obj, &cd)) { Py_DECREF(rd.arr); return nullptr; }
+  if (!as_i32(p_obj, &p)) { Py_DECREF(rd.arr); Py_DECREF(cd.arr); return nullptr; }
+  if (!as_i32(ep_obj, &ep)) {
+    Py_DECREF(rd.arr); Py_DECREF(cd.arr); Py_DECREF(p.arr); return nullptr;
+  }
+  std::vector<float> out(ep.size, 0.f);
+  npy_intp rows = p.size - 1;
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < rows; ++i) {
+    int32_t r_deg = rd.data[i];
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+      if (symm) {
+        int32_t c_deg = cd.data[ep.data[j]];
+        if (r_deg != 0 && c_deg != 0) {
+          out[j] = std::sqrt(1.0f / static_cast<float>(r_deg) /
+                             static_cast<float>(c_deg));
+        }
+      } else if (r_deg != 0) {
+        out[j] = 1.0f / static_cast<float>(r_deg);
+      }
+    }
+  }
+  Py_DECREF(rd.arr); Py_DECREF(cd.arr); Py_DECREF(p.arr); Py_DECREF(ep.arr);
+  return make_f32(out);
+}
+
+// Row/col submatrix with column remapping
+// (reference slice_csr_mat, graph_sampler.cpp:31-152).
+// Returns (new_indptr i32, new_endpoints i32, edge_idx i64).
+PyObject* py_csr_submat(PyObject*, PyObject* args) {
+  PyObject *p_obj, *ep_obj, *ri_obj, *ci_obj;
+  long long num_cols;
+  if (!PyArg_ParseTuple(args, "OOOOL", &p_obj, &ep_obj, &ri_obj, &ci_obj,
+                        &num_cols)) return nullptr;
+  I32View p, ep, ri, ci;
+  if (!as_i32(p_obj, &p)) return nullptr;
+  if (!as_i32(ep_obj, &ep)) { Py_DECREF(p.arr); return nullptr; }
+  if (!as_i32(ri_obj, &ri)) { Py_DECREF(p.arr); Py_DECREF(ep.arr); return nullptr; }
+  if (!as_i32(ci_obj, &ci)) {
+    Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(ri.arr); return nullptr;
+  }
+  std::vector<int32_t> col_map(num_cols, -1);
+  for (npy_intp i = 0; i < ci.size; ++i) col_map[ci.data[i]] = (int32_t)i;
+
+  std::vector<int32_t> counts(ri.size, 0);
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < ri.size; ++i) {
+    int32_t r = ri.data[i];
+    int32_t c = 0;
+    for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
+      if (col_map[ep.data[j]] >= 0) ++c;
+    }
+    counts[i] = c;
+  }
+  std::vector<int32_t> new_ptr(ri.size + 1, 0);
+  for (npy_intp i = 0; i < ri.size; ++i) new_ptr[i + 1] = new_ptr[i] + counts[i];
+  std::vector<int32_t> new_ep(new_ptr.back());
+  std::vector<int64_t> edge_idx(new_ptr.back());
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < ri.size; ++i) {
+    int32_t r = ri.data[i];
+    int32_t pos = new_ptr[i];
+    for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
+      int32_t c = col_map[ep.data[j]];
+      if (c >= 0) {
+        new_ep[pos] = c;
+        edge_idx[pos] = j;
+        ++pos;
+      }
+    }
+  }
+  Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(ri.arr); Py_DECREF(ci.arr);
+  PyObject* a = make_i32(new_ptr);
+  PyObject* b = make_i32(new_ep);
+  PyObject* c = make_i64(edge_idx);
+  return PyTuple_Pack(3, a, b, c);
+}
+
+// Partition edges by rating value (reference multi_link_split_impl,
+// graph_sampler.cpp:277-376).  Returns ([sel_idx per value], [indptr per
+// value]).
+PyObject* py_multi_link_split(PyObject*, PyObject* args) {
+  PyObject *v_obj, *p_obj, *ml_obj;
+  if (!PyArg_ParseTuple(args, "OOO", &v_obj, &p_obj, &ml_obj)) return nullptr;
+  F32View v, ml; I32View p;
+  if (!as_f32(v_obj, &v)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(v.arr); return nullptr; }
+  if (!as_f32(ml_obj, &ml)) { Py_DECREF(v.arr); Py_DECREF(p.arr); return nullptr; }
+  npy_intp rows = p.size - 1;
+  int R = static_cast<int>(ml.size);
+  std::vector<std::vector<int32_t>> sel(R);
+  std::vector<std::vector<int32_t>> ptrs(R);
+  for (int r = 0; r < R; ++r) {
+    ptrs[r].assign(rows + 1, 0);
+    sel[r].reserve(v.size / (R > 0 ? R : 1) + 1);
+  }
+  for (npy_intp i = 0; i < rows; ++i) {
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+      for (int r = 0; r < R; ++r) {
+        if (v.data[j] == ml.data[r]) {
+          sel[r].push_back(j);
+          ++ptrs[r][i + 1];
+          break;
+        }
+      }
+    }
+  }
+  for (int r = 0; r < R; ++r) {
+    for (npy_intp i = 0; i < rows; ++i) ptrs[r][i + 1] += ptrs[r][i];
+  }
+  Py_DECREF(v.arr); Py_DECREF(p.arr); Py_DECREF(ml.arr);
+  PyObject* sel_list = PyList_New(R);
+  PyObject* ptr_list = PyList_New(R);
+  for (int r = 0; r < R; ++r) {
+    PyList_SET_ITEM(sel_list, r, make_i32(sel[r]));
+    PyList_SET_ITEM(ptr_list, r, make_i32(ptrs[r]));
+  }
+  return PyTuple_Pack(2, sel_list, ptr_list);
+}
+
+// Fixed-fanout sampling without replacement (reference
+// random_sample_fix_neighbor, graph_sampler.cpp:742-780).
+// Returns (sampled_edge_indices i64, new_indptr i32).
+PyObject* py_sample_fix_neighbor(PyObject*, PyObject* args) {
+  PyObject *p_obj, *sel_obj;
+  int num_neighbors;
+  if (!PyArg_ParseTuple(args, "OOi", &p_obj, &sel_obj, &num_neighbors))
+    return nullptr;
+  I32View p, sel;
+  if (!as_i32(p_obj, &p)) return nullptr;
+  if (!as_i32(sel_obj, &sel)) { Py_DECREF(p.arr); return nullptr; }
+  std::vector<int32_t> new_ptr(sel.size + 1, 0);
+  for (npy_intp i = 0; i < sel.size; ++i) {
+    int32_t r = sel.data[i];
+    int32_t deg = p.data[r + 1] - p.data[r];
+    int32_t take = (num_neighbors < 0) ? deg : std::min(deg, num_neighbors);
+    new_ptr[i + 1] = new_ptr[i] + take;
+  }
+  std::vector<int64_t> out(new_ptr.back());
+#pragma omp parallel for num_threads(num_threads_capped())
+  for (npy_intp i = 0; i < sel.size; ++i) {
+    int32_t r = sel.data[i];
+    int32_t beg = p.data[r], end = p.data[r + 1];
+    int32_t take = new_ptr[i + 1] - new_ptr[i];
+    int64_t* dst = out.data() + new_ptr[i];
+    if (take == end - beg) {
+      for (int32_t j = 0; j < take; ++j) dst[j] = beg + j;
+    } else {
+      // Floyd's algorithm: uniform sample of `take` distinct values from
+      // [beg, end) without materialising the range.
+      std::mt19937& eng = engine_for_thread();
+      std::unordered_map<int32_t, int32_t> replace_map;
+      int32_t n = end - beg;
+      for (int32_t j = 0; j < take; ++j) {
+        std::uniform_int_distribution<int32_t> dist(j, n - 1);
+        int32_t k = dist(eng);
+        auto it_k = replace_map.find(k);
+        int32_t val_k = (it_k == replace_map.end()) ? k : it_k->second;
+        auto it_j = replace_map.find(j);
+        int32_t val_j = (it_j == replace_map.end()) ? j : it_j->second;
+        dst[j] = beg + val_k;
+        replace_map[k] = val_j;
+      }
+    }
+  }
+  Py_DECREF(p.arr); Py_DECREF(sel.arr);
+  PyObject* a = make_i64(out);
+  PyObject* b = make_i32(new_ptr);
+  return PyTuple_Pack(2, a, b);
+}
+
+// Edge deletion producing a new indptr + keep mask (reference remove_edges,
+// graph_sampler.cpp:154-275).
+PyObject* py_remove_edges(PyObject*, PyObject* args) {
+  PyObject *p_obj, *rm_obj;
+  if (!PyArg_ParseTuple(args, "OO", &p_obj, &rm_obj)) return nullptr;
+  I32View p;
+  if (!as_i32(p_obj, &p)) return nullptr;
+  PyArrayObject* rm = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(rm_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  if (!rm) { Py_DECREF(p.arr); return nullptr; }
+  npy_intp nnz = p.data[p.size - 1];
+  std::vector<uint8_t> keep(nnz, 1);
+  const int64_t* rmd = static_cast<const int64_t*>(PyArray_DATA(rm));
+  for (npy_intp i = 0; i < PyArray_SIZE(rm); ++i) {
+    if (rmd[i] >= 0 && rmd[i] < nnz) keep[rmd[i]] = 0;
+  }
+  std::vector<int32_t> new_ptr(p.size, 0);
+  npy_intp rows = p.size - 1;
+  for (npy_intp i = 0; i < rows; ++i) {
+    int32_t cnt = 0;
+    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) cnt += keep[j];
+    new_ptr[i + 1] = new_ptr[i] + cnt;
+  }
+  npy_intp dims[1] = {nnz};
+  PyObject* keep_obj = PyArray_SimpleNew(1, dims, NPY_BOOL);
+  std::copy(keep.begin(), keep.end(),
+            static_cast<uint8_t*>(PyArray_DATA(
+                reinterpret_cast<PyArrayObject*>(keep_obj))));
+  Py_DECREF(p.arr); Py_DECREF(rm);
+  PyObject* a = make_i32(new_ptr);
+  return PyTuple_Pack(2, a, keep_obj);
+}
+
+PyMethodDef kMethods[] = {
+    {"set_seed", py_set_seed, METH_VARARGS, "Seed sampler RNG engines."},
+    {"unique_inverse", py_unique_inverse, METH_VARARGS,
+     "First-occurrence unique + inverse indices."},
+    {"unique_cnt", py_unique_cnt, METH_VARARGS,
+     "First-occurrence unique + counts."},
+    {"take_1d", py_take_1d, METH_VARARGS, "Parallel 1-D gather."},
+    {"gen_row_indices_by_indptr", py_gen_row_indices, METH_VARARGS,
+     "CSR indptr -> COO row indices."},
+    {"seg_sum", py_seg_sum, METH_VARARGS, "Segment sum."},
+    {"seg_add", py_seg_add, METH_VARARGS, "Segment broadcast add."},
+    {"seg_mul", py_seg_mul, METH_VARARGS, "Segment broadcast mul."},
+    {"get_support", py_get_support, METH_VARARGS,
+     "Per-edge GCN degree normalisation."},
+    {"csr_submat", py_csr_submat, METH_VARARGS,
+     "Row/col submatrix with column remapping."},
+    {"multi_link_split", py_multi_link_split, METH_VARARGS,
+     "Partition edges by rating value."},
+    {"random_sample_fix_neighbor", py_sample_fix_neighbor, METH_VARARGS,
+     "Fixed-fanout neighbor sampling without replacement."},
+    {"remove_edges_by_indices", py_remove_edges, METH_VARARGS,
+     "Edge removal -> (new indptr, keep mask)."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_graph_kernels",
+                       "stargcn_tpu native host graph kernels", -1, kMethods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__graph_kernels(void) {
+  import_array();
+  return PyModule_Create(&kModule);
+}
