@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""STAR-GCN training CLI (TPU-native).
+
+Equivalent of the reference experiment driver
+(``experiments/STAR-GCN.py``; CLI contract at ``README.md:35``)::
+
+    python experiments/train.py --cfg configs/transductive_ml_100k.yml
+    python experiments/train.py --cfg ... --save_dir out --seed 123
+    python experiments/train.py --dataset synthetic --max_iter 200
+
+``--dataset synthetic`` trains on an in-memory MovieLens-like graph (no
+raw data needed — this environment cannot download GroupLens archives).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train STAR-GCN on TPU.")
+    parser.add_argument("--cfg", dest="cfg_file", default=None, type=str)
+    parser.add_argument("--save_dir", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="ml-100k | ml-1m | ml-10m | synthetic "
+                             "(overrides cfg)")
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--inductive", action="store_true")
+    parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--silent", action="store_true")
+    parser.add_argument("--max_iter", default=None, type=int)
+    parser.add_argument("--platform", default=None, type=str,
+                        help="force a JAX platform (e.g. cpu)")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from stargcn_tpu.data import DataIterator, LoadData
+    from stargcn_tpu.data.synthetic import synthetic_graph
+    from stargcn_tpu.graph import kernels as gk
+    from stargcn_tpu.train import Trainer, build_model_config
+    from stargcn_tpu.train.loop import TrainSettings
+    from stargcn_tpu.utils import (cfg_from_file, default_cfg,
+                                   logging_config, save_cfg_dir)
+
+    cfg = default_cfg()
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file, cfg)
+    if args.dataset:
+        cfg.DATASET.NAME = args.dataset
+    if args.inductive:
+        cfg.DATASET.IS_INDUCTIVE = True
+    if args.seed is not None:
+        cfg.SEED = args.seed
+    if args.max_iter is not None:
+        cfg.TRAIN.MAX_ITER = args.max_iter
+
+    save_dir = args.save_dir
+    if save_dir is None and args.cfg_file is not None:
+        save_dir = os.path.splitext(args.cfg_file)[0] + "_runs"
+    save_id = 0
+    if save_dir:
+        save_id = save_cfg_dir(save_dir, cfg)
+        logging_config(save_dir, name=f"log{save_id}",
+                       no_console=args.silent)
+    else:
+        logging.basicConfig(level=logging.INFO)
+    logging.info(cfg)
+
+    np.random.seed(cfg.SEED)
+    gk.set_seed(cfg.SEED)
+
+    # ---- dataset ----
+    name_user, name_item = "user", "movie"
+    if cfg.DATASET.NAME == "synthetic":
+        graph = synthetic_graph(seed=cfg.SEED)
+        csr = graph[name_user, name_item]
+        rng = np.random.RandomState(cfg.SEED)
+        pairs = csr.node_pair_ids
+        perm = rng.permutation(pairs.shape[1])
+        n_test = int(np.ceil(pairs.shape[1] * cfg.DATASET.TEST_RATIO))
+        n_valid = int(np.ceil((pairs.shape[1] - n_test)
+                              * cfg.DATASET.VALID_RATIO))
+        test_pairs = pairs[:, perm[:n_test]]
+        valid_pairs = pairs[:, perm[n_test:n_test + n_valid]]
+        inductive_kwargs = {}
+        assert not cfg.DATASET.IS_INDUCTIVE, \
+            "synthetic runs are transductive"
+    else:
+        data = LoadData(
+            cfg.DATASET.NAME, root=args.data_root,
+            use_inductive=cfg.DATASET.IS_INDUCTIVE,
+            test_ratio=cfg.DATASET.TEST_RATIO,
+            val_ratio=cfg.DATASET.VALID_RATIO,
+            inductive_key=cfg.DATASET.INDUCTIVE_KEY,
+            inductive_node_frac=cfg.DATASET.INDUCTIVE_NODE_FRAC,
+            inductive_edge_frac=cfg.DATASET.INDUCTIVE_EDGE_FRAC,
+            seed=cfg.SEED)
+        logging.info(data)
+        graph = data.graph
+        graph.check_continous_node_ids()
+        test_pairs, _ = data.test_data
+        valid_pairs, _ = data.valid_data
+        inductive_kwargs = {}
+        if cfg.DATASET.IS_INDUCTIVE:
+            key = (name_item if cfg.DATASET.INDUCTIVE_KEY == "item"
+                   else name_user)
+            other = name_user if key == name_item else name_item
+            inductive_kwargs = dict(
+                is_inductive=True, inductive_key=key,
+                inductive_train_ids=data.inductive_train_ids,
+                inductive_valid_ids=data.inductive_valid_ids,
+                embed_p_zero={key: cfg.EMBED.P_ZERO, other: 0.0},
+                embed_p_self={key: 1.0 - cfg.EMBED.P_ZERO, other: 1.0})
+
+    if not inductive_kwargs:
+        inductive_kwargs = dict(
+            embed_p_zero=cfg.EMBED.P_ZERO,
+            embed_p_self=1.0 - cfg.EMBED.P_ZERO)
+
+    data_iter = DataIterator(
+        graph, name_user, name_item,
+        test_node_pairs=test_pairs, valid_node_pairs=valid_pairs,
+        embed_P_mask=cfg.EMBED.MASK_PROP, seed=cfg.SEED,
+        **inductive_kwargs)
+
+    csr = graph[name_user, name_item]
+    model_cfg = build_model_config(
+        cfg, num_users=csr.shape[0], num_items=csr.shape[1],
+        num_links=len(csr.multi_link))
+    trainer = Trainer(model_cfg, data_iter,
+                      TrainSettings.from_cfg(cfg),
+                      save_dir=save_dir, save_id=save_id)
+    result = trainer.fit()
+    logging.info("result: %s", result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -181,25 +181,46 @@ class STARGCN(nn.Module):
         recurrent_depth = (len(cfg.agg_units)
                            if cfg.gcn_use_recurrent else None)
 
+        # Parameter blocks: 1 when USE_RECURRENT (weights shared across
+        # blocks, STAR-GCN.py:199/233/253), else NBLOCKS.  Modules are
+        # created once and reused, so flax shares parameters naturally.
+        n_param_blocks = 1 if cfg.use_recurrent else cfg.nblocks
+        encoders = [
+            StackedHeterGCNLayers(
+                layer_cfgs=(layer_cfgs[:1] if recurrent_depth else
+                            layer_cfgs),
+                recurrent_layer_num=recurrent_depth, name=f"enc_b{p}")
+            for p in range(n_param_blocks)]
+        user_projs = [nn.Dense(cfg.gen_rating_mid_map,
+                               kernel_init=xavier_in,
+                               name=f"rating_user_proj_b{p}")
+                      for p in range(n_param_blocks)]
+        item_projs = [nn.Dense(cfg.gen_rating_mid_map,
+                               kernel_init=xavier_in,
+                               name=f"rating_item_proj_b{p}")
+                      for p in range(n_param_blocks)]
+        embed_maps = [
+            {key: [nn.Dense(out_emb_units, kernel_init=xavier_in,
+                            name=f"embed_map_b{p}_{key}_l0"),
+                   nn.Dense(out_emb_units, kernel_init=xavier_in,
+                            name=f"embed_map_b{p}_{key}_l1")]
+             for key in ("user", "item")}
+            for p in range(n_param_blocks)] if cfg.use_dae else []
+        # Shared across blocks like the reference's single ``gen_ratings``
+        # instance (STAR-GCN.py:261).
+        gen_ratings = InnerProductLayer(name="gen_ratings")
+
         pred_ratings, pred_embed = [], []
         feats = input_feat
         for block_id in range(cfg.nblocks):
             pidx = 0 if cfg.use_recurrent else block_id
-            encoder = StackedHeterGCNLayers(
-                layer_cfgs=(layer_cfgs[:1] if recurrent_depth else
-                            layer_cfgs),
-                recurrent_layer_num=recurrent_depth,
-                name=f"enc_b{pidx}")
-            output = encoder(feats, relations, train=train)
+            output = encoders[pidx](feats, relations, train=train)
 
             # rating head (STAR-GCN.py:428-438)
             u_rows = jnp.take(output["user"], pairs_user, axis=0)
             i_rows = jnp.take(output["item"], pairs_item, axis=0)
-            u_rows = nn.Dense(cfg.gen_rating_mid_map, kernel_init=xavier_in,
-                              name=f"rating_user_proj_b{pidx}")(u_rows)
-            i_rows = nn.Dense(cfg.gen_rating_mid_map, kernel_init=xavier_in,
-                              name=f"rating_item_proj_b{pidx}")(i_rows)
-            score = InnerProductLayer(name="gen_ratings")(u_rows, i_rows)
+            score = gen_ratings(user_projs[pidx](u_rows),
+                                item_projs[pidx](i_rows))
             pred_ratings.append(score[:, 0])
 
             # decoder / next-block input (STAR-GCN.py:441-459): the same
@@ -207,13 +228,8 @@ class STARGCN(nn.Module):
             if cfg.use_dae:
                 mapped = {}
                 for key in ("user", "item"):
-                    h = nn.Dense(out_emb_units, kernel_init=xavier_in,
-                                 name=f"embed_map_b{pidx}_{key}_l0")(
-                                     output[key])
-                    h = act(h)
-                    h = nn.Dense(out_emb_units, kernel_init=xavier_in,
-                                 name=f"embed_map_b{pidx}_{key}_l1")(h)
-                    mapped[key] = h
+                    l0, l1 = embed_maps[pidx][key]
+                    mapped[key] = l1(act(l0(output[key])))
                 pred_embed.append(mapped)
                 if block_id < cfg.nblocks - 1:
                     feats = mapped

@@ -1,0 +1,500 @@
+"""Full-graph training/evaluation engine for STAR-GCN on TPU.
+
+Re-implementation of the reference experiment driver
+(``experiments/STAR-GCN.py:465-713``: ``train()``/``evaluate()``) around a
+single jitted train step and a single jitted eval step:
+
+* graph variants (train/val/test) are edge masks over one static edge
+  array (the reference materialises three ``HeterGraph`` objects,
+  ``iterators.py:165-176``);
+* per-iteration batch-edge removal (``REMOVE_RATING``,
+  ``STAR-GCN.py:595-600``) is an in-jit binary-search + scatter instead of
+  a C++ CSR rebuild;
+* loss = sum over blocks of L2(pred, (r-mean)/std) (gluon ``L2Loss``
+  carries a 1/2 factor) + RECON_LAMBDA * sum over blocks/types of
+  mean-over-nodes ||e_hat - e||^2 (``STAR-GCN.py:610-628``);
+* gradient global-norm clipping (``utils.py:104-107``), Adam, and the
+  patience-driven LR decay x0.5 to MIN_LR with early stopping
+  (``STAR-GCN.py:694-705``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stargcn_tpu.graph.device import BipartiteGraphData
+from stargcn_tpu.models.stargcn import STARGCN, STARGCNConfig
+from stargcn_tpu.utils.logging import MetricLogger
+
+
+def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
+    """Translate the experiment config tree into a STARGCNConfig."""
+    return STARGCNConfig(
+        num_users=num_users, num_items=num_items, num_links=num_links,
+        use_embed=cfg.MODEL.USE_EMBED,
+        use_fea_proj=cfg.MODEL.USE_FEA_PROJ,
+        recon_fea=cfg.MODEL.RECON_FEA,
+        use_dae=cfg.MODEL.USE_DAE,
+        nblocks=cfg.MODEL.NBLOCKS,
+        use_recurrent=cfg.MODEL.USE_RECURRENT,
+        activation=cfg.MODEL.ACTIVATION,
+        fea_mid_map=cfg.FEA.MID_MAP,
+        fea_units=cfg.FEA.UNITS,
+        embed_units=cfg.EMBED.UNITS,
+        gcn_dropout=cfg.GCN.DROPOUT,
+        gcn_use_recurrent=cfg.GCN.USE_RECURRENT,
+        agg_norm_symm=cfg.GCN.AGG.NORM_SYMM,
+        agg_units=tuple(cfg.GCN.AGG.UNITS),
+        agg_accum=cfg.GCN.AGG.ACCUM,
+        agg_ordinal_sharing=cfg.GCN.AGG.get("ORDINAL_SHARING", False),
+        out_units=tuple(cfg.GCN.OUT.UNITS),
+        gen_rating_mid_map=cfg.GEN_RATING.MID_MAP,
+        backend=cfg.KERNEL.BACKEND,
+    )
+
+
+@dataclasses.dataclass
+class TrainSettings:
+    rating_batch_size: int = 10000
+    recon_batch_size: int = 1_000_000
+    max_iter: int = 1_000_000
+    log_interval: int = 10
+    valid_interval: int = 10
+    lr: float = 1e-2
+    wd: float = 0.0
+    decay_patience: int = 100
+    min_lr: float = 5e-4
+    lr_decay_factor: float = 0.5
+    early_stopping_patience: int = 150
+    grad_clip: float = 10.0
+    remove_rating: bool = True
+    recon_lambda: float = 0.1
+    use_dae: bool = True
+    seed: int = 123
+
+    @staticmethod
+    def from_cfg(cfg):
+        return TrainSettings(
+            rating_batch_size=cfg.TRAIN.RATING_BATCH_SIZE,
+            recon_batch_size=cfg.TRAIN.RECON_BATCH_SIZE,
+            max_iter=cfg.TRAIN.MAX_ITER,
+            log_interval=cfg.TRAIN.LOG_INTERVAL,
+            valid_interval=cfg.TRAIN.VALID_INTERVAL,
+            lr=cfg.TRAIN.LR, wd=cfg.TRAIN.WD,
+            decay_patience=cfg.TRAIN.DECAY_PATIENCE,
+            min_lr=cfg.TRAIN.MIN_LR,
+            lr_decay_factor=cfg.TRAIN.LR_DECAY_FACTOR,
+            early_stopping_patience=cfg.TRAIN.EARLY_STOPPING_PATIENCE,
+            grad_clip=cfg.TRAIN.GRAD_CLIP,
+            remove_rating=cfg.MODEL.REMOVE_RATING,
+            recon_lambda=cfg.MODEL.RECON_LAMBDA,
+            use_dae=cfg.MODEL.USE_DAE,
+            seed=cfg.SEED,
+        )
+
+
+class Trainer:
+    """Owns the jitted step functions and the host-side schedule."""
+
+    def __init__(self, model_cfg: STARGCNConfig, data_iter, settings,
+                 save_dir: Optional[str] = None, save_id: int = 0,
+                 mesh=None):
+        self.model_cfg = model_cfg
+        self.model = STARGCN(model_cfg)
+        self.data_iter = data_iter
+        self.s = settings
+        self.save_dir = save_dir
+        self.save_id = save_id
+        self.mesh = mesh
+
+        all_csr = data_iter.all_graph["user", "movie"]
+        self.graph_data = BipartiteGraphData.from_csr(all_csr)
+        self.edge_masks = self._build_variant_masks(all_csr)
+
+        train_ratings = data_iter.train_ratings
+        self.rating_mean = float(train_ratings.mean())
+        self.rating_std = float(train_ratings.std())
+        vals = data_iter.possible_rating_values
+        self.rating_min = float(vals.min())
+        self.rating_max = float(vals.max())
+
+        n_train = data_iter.train_node_pairs.shape[1]
+        self.train_batch = min(self.s.rating_batch_size, n_train)
+        # Reference removes batch edges only when the batch is a strict
+        # subset of the training edges (STAR-GCN.py:594).
+        self.do_remove = self.s.remove_rating and self.train_batch < n_train
+
+        self._rng_key = jax.random.PRNGKey(self.s.seed)
+        self.params = self._init_params()
+        self.opt = self._make_optimizer()
+        self.opt_state = self.opt.init(self.params)
+        self.lr = self.s.lr
+
+        self._features_cache = None
+        self._train_step = jax.jit(partial(_train_step, self),
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(partial(_eval_step, self))
+
+    # ------------------------------ setup -----------------------------------
+
+    def _build_variant_masks(self, all_csr):
+        """Float edge masks (over padded edge arrays) for each graph
+        variant, mirroring ``iterators.py:165-176``."""
+        it = self.data_iter
+        E_pad = self.graph_data.num_edges_padded
+        masks = {}
+        for name, variant in (("test", it.test_graph),
+                              ("valid", it.val_graph),
+                              ("train", it.train_graph)):
+            pairs = variant["user", "movie"].node_pair_ids
+            idx = all_csr.edge_indices_by_id(pairs)
+            assert np.all(idx >= 0)
+            m = np.zeros(E_pad, np.float32)
+            m[idx] = 1.0
+            masks[name] = jnp.asarray(m)
+        return masks
+
+    def _init_params(self):
+        self._rng_key, init_key, drop_key = jax.random.split(self._rng_key, 3)
+        B = self.train_batch
+        dummy = dict(
+            graph=self.graph_data,
+            edge_mask=self.edge_masks["train"],
+            noise_user=jnp.zeros(self.model_cfg.num_users, jnp.int32),
+            noise_item=jnp.zeros(self.model_cfg.num_items, jnp.int32),
+            pairs_user=jnp.zeros(B, jnp.int32),
+            pairs_item=jnp.zeros(B, jnp.int32),
+        )
+        if self.model_cfg.use_fea_proj:
+            dummy["user_features"] = jnp.asarray(
+                self.data_iter.all_graph.features["user"])
+            dummy["item_features"] = jnp.asarray(
+                self.data_iter.all_graph.features["movie"])
+        variables = self.model.init(
+            {"params": init_key, "dropout": drop_key}, **dummy, train=False)
+        return variables["params"]
+
+    def _make_optimizer(self):
+        s = self.s
+
+        def make(learning_rate):
+            parts = [optax.clip_by_global_norm(s.grad_clip),
+                     optax.scale_by_adam()]
+            if s.wd:
+                parts.append(optax.add_decayed_weights(s.wd))
+            parts.append(optax.scale(-learning_rate))
+            return optax.chain(*parts)
+
+        return optax.inject_hyperparams(make)(learning_rate=s.lr)
+
+    def set_lr(self, lr: float):
+        self.lr = lr
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+
+    # --------------------------- public driving ------------------------------
+
+    def features(self):
+        if not self.model_cfg.use_fea_proj:
+            return None, None
+        if self._features_cache is None:
+            g = self.data_iter.all_graph
+            self._features_cache = (jnp.asarray(g.features["user"]),
+                                    jnp.asarray(g.features["movie"]))
+        return self._features_cache
+
+    def train_iteration(self, rating_batch, recon_batch):
+        """One optimisation step.  Returns host-side stats dict."""
+        (pairs, gt_ratings) = rating_batch
+        noise_u, noise_i, recon_mask_u, recon_mask_i = recon_batch
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        self.params, self.opt_state, stats = self._train_step(
+            self.params, self.opt_state,
+            jnp.asarray(pairs[0]), jnp.asarray(pairs[1]),
+            jnp.asarray(gt_ratings),
+            jnp.asarray(noise_u), jnp.asarray(noise_i),
+            jnp.asarray(recon_mask_u), jnp.asarray(recon_mask_i),
+            step_key)
+        return stats
+
+    def prepare_recon_batch(self, embed_noise_dict, recon_ids_dict):
+        """Noise arrays + float recon masks from the sampler output."""
+        nu = embed_noise_dict["user"]
+        ni = embed_noise_dict["movie"]
+        mu = np.zeros(self.model_cfg.num_users, np.float32)
+        mi = np.zeros(self.model_cfg.num_items, np.float32)
+        if "user" in recon_ids_dict:
+            mu[recon_ids_dict["user"]] = 1.0
+        if "movie" in recon_ids_dict:
+            mi[recon_ids_dict["movie"]] = 1.0
+        return nu, ni, mu, mi
+
+    def evaluate(self, segment: str = "valid"):
+        """Per-block RMSE on the given segment (``STAR-GCN.py:465-498``):
+        predictions are denormalised and clipped to the rating range."""
+        it = self.data_iter
+        B = min(self.s.rating_batch_size,
+                max(1, it._valid_node_pairs.shape[1]
+                    if segment == "valid" else
+                    it._test_node_pairs.shape[1]))
+        noise_u = jnp.asarray(it.evaluate_embed_noise_dict["user"])
+        noise_i = jnp.asarray(it.evaluate_embed_noise_dict["movie"])
+        mask = self.edge_masks["valid" if segment == "valid" else "test"]
+        sq_sum = np.zeros(self.model_cfg.nblocks)
+        cnt = 0
+        for pairs, ratings in it.rating_sampler(batch_size=B,
+                                                segment=segment,
+                                                sequential=True):
+            n = ratings.size
+            pu = np.zeros(B, np.int32)
+            pi = np.zeros(B, np.int32)
+            gt = np.zeros(B, np.float32)
+            valid = np.zeros(B, np.float32)
+            pu[:n], pi[:n], gt[:n], valid[:n] = (
+                pairs[0], pairs[1], ratings, 1.0)
+            block_sq = self._eval_step(
+                self.params, jnp.asarray(pu), jnp.asarray(pi),
+                jnp.asarray(gt), jnp.asarray(valid), mask,
+                noise_u, noise_i)
+            sq_sum += np.asarray(block_sq)
+            cnt += n
+        return np.sqrt(sq_sum / max(cnt, 1))
+
+    # ------------------------------- fit ------------------------------------
+
+    def fit(self, max_iter: Optional[int] = None, log=logging.info):
+        """The full training schedule (``STAR-GCN.py:507-713``)."""
+        s = self.s
+        it = self.data_iter
+        max_iter = max_iter or s.max_iter
+        rating_sampler = it.rating_sampler(batch_size=s.rating_batch_size,
+                                           segment="train")
+        recon_sampler = (it.recon_nodes_sampler(
+            batch_size=s.recon_batch_size) if s.use_dae else None)
+
+        loggers = self._make_metric_loggers()
+        best_valid_rmse = np.inf
+        best_test_rmse = None
+        best_iter = -1
+        no_better = 0
+        nb = self.model_cfg.nblocks
+        avg = {"gnorm": 0.0,
+               "sq": np.zeros(nb), "cnt": 0,
+               "rating_loss": np.zeros(nb), "recon_loss": np.zeros(nb),
+               "batches": 0}
+        t_start = time.time()
+        stop = False
+        for iter_idx in range(1, max_iter + 1):
+            pairs, gt_ratings = next(rating_sampler)
+            if s.use_dae:
+                noise_dict, _, all_recon_ids = next(recon_sampler)
+                recon_batch = self.prepare_recon_batch(noise_dict,
+                                                       all_recon_ids)
+            else:
+                ident_u = np.arange(self.model_cfg.num_users, dtype=np.int32)
+                ident_i = np.arange(self.model_cfg.num_items, dtype=np.int32)
+                recon_batch = (ident_u, ident_i,
+                               np.zeros(self.model_cfg.num_users, np.float32),
+                               np.zeros(self.model_cfg.num_items, np.float32))
+            stats = self.train_iteration((pairs, gt_ratings), recon_batch)
+            stats = jax.device_get(stats)
+            avg["gnorm"] += float(stats["gnorm"])
+            avg["sq"] += np.asarray(stats["sq_err"])
+            avg["cnt"] += gt_ratings.size
+            avg["rating_loss"] += np.asarray(stats["rating_loss"])
+            avg["recon_loss"] += np.asarray(stats["recon_loss"])
+            avg["batches"] += 1
+
+            logging_str = ""
+            if iter_idx % s.log_interval == 0:
+                rmse = np.sqrt(avg["sq"] / max(avg["cnt"], 1))
+                row = {"iter": iter_idx, "loss": float(stats["loss"])}
+                for i in range(nb):
+                    row[f"rmse{i}"] = rmse[i]
+                    row[f"rating_loss{i}"] = \
+                        avg["rating_loss"][i] / avg["batches"]
+                    row[f"recon_loss{i}"] = \
+                        avg["recon_loss"][i] / avg["batches"]
+                loggers["train"].log(**row)
+                logging_str = (
+                    f"Iter={iter_idx}, gnorm={avg['gnorm']/avg['batches']:.3f}, "
+                    f"loss={float(stats['loss']):.3f}, "
+                    + ", ".join(f"RMSE{i}={rmse[i]:.3f}" for i in range(nb))
+                    + f", {avg['cnt']/(time.time()-t_start):.0f} pairs/s")
+                avg = {"gnorm": 0.0, "sq": np.zeros(nb), "cnt": 0,
+                       "rating_loss": np.zeros(nb),
+                       "recon_loss": np.zeros(nb), "batches": 0}
+                t_start = time.time()
+
+            if iter_idx % s.valid_interval == 0:
+                valid_rmse = self.evaluate("valid")
+                loggers["valid"].log(**{"iter": iter_idx, **{
+                    f"rmse{i}": valid_rmse[i] for i in range(nb)}})
+                logging_str += ", " + ", ".join(
+                    f"Val RMSE{i}={valid_rmse[i]:.3f}" for i in range(nb))
+                if valid_rmse[-1] < best_valid_rmse:
+                    best_valid_rmse = valid_rmse[-1]
+                    no_better = 0
+                    best_iter = iter_idx
+                    best_test_rmse = self.evaluate("test")
+                    loggers["test"].log(**{"iter": iter_idx, **{
+                        f"rmse{i}": best_test_rmse[i] for i in range(nb)}})
+                    logging_str += ", " + ", ".join(
+                        f"Test RMSE{i}={best_test_rmse[i]:.4f}"
+                        for i in range(nb))
+                    self.save_checkpoint("best")
+                else:
+                    no_better += 1
+                    if (no_better > s.early_stopping_patience
+                            and self.lr <= s.min_lr):
+                        log("Early stopping threshold reached.")
+                        stop = True
+                    elif no_better > s.decay_patience:
+                        new_lr = max(self.lr * s.lr_decay_factor, s.min_lr)
+                        if new_lr < self.lr:
+                            log(f"\tChange the LR to {new_lr:g}")
+                            self.set_lr(new_lr)
+                            no_better = 0
+            if logging_str:
+                log(logging_str)
+            if stop:
+                break
+        for lg in loggers.values():
+            lg.close()
+        log(f"Best Iter={best_iter}, Best Valid RMSE={best_valid_rmse:.4f}, "
+            + (", ".join(f"Best Test RMSE{i}={best_test_rmse[i]:.4f}"
+                         for i in range(nb))
+               if best_test_rmse is not None else "no test eval"))
+        return {"best_iter": best_iter,
+                "best_valid_rmse": float(best_valid_rmse),
+                "best_test_rmse": (None if best_test_rmse is None
+                                   else [float(x) for x in best_test_rmse])}
+
+    def _make_metric_loggers(self):
+        nb = self.model_cfg.nblocks
+        if self.save_dir is None:
+            class _Null:
+                def log(self, **kw):
+                    pass
+
+                def close(self):
+                    pass
+            return {k: _Null() for k in ("train", "valid", "test")}
+        os.makedirs(self.save_dir, exist_ok=True)
+        cols = ["iter", "loss"] + sum(
+            [[f"rmse{i}", f"rating_loss{i}", f"recon_loss{i}"]
+             for i in range(nb)], [])
+        fmts = ["%d", "%.4f"] + ["%.4f"] * (3 * nb)
+        return {
+            "train": MetricLogger(cols, fmts, os.path.join(
+                self.save_dir, f"train_loss{self.save_id}.csv")),
+            "valid": MetricLogger(
+                ["iter"] + [f"rmse{i}" for i in range(nb)],
+                ["%d"] + ["%.4f"] * nb,
+                os.path.join(self.save_dir,
+                             f"valid_loss{self.save_id}.csv")),
+            "test": MetricLogger(
+                ["iter"] + [f"rmse{i}" for i in range(nb)],
+                ["%d"] + ["%.4f"] * nb,
+                os.path.join(self.save_dir,
+                             f"test_loss{self.save_id}.csv")),
+        }
+
+    # ---------------------------- checkpointing ------------------------------
+
+    def save_checkpoint(self, tag: str = "last"):
+        """Persist params + opt state (the reference leaves model saving
+        commented out, ``STAR-GCN.py:685``; real checkpointing is a
+        framework addition)."""
+        if self.save_dir is None:
+            return None
+        from stargcn_tpu.train.checkpoint import save_checkpoint
+        path = os.path.join(self.save_dir,
+                            f"ckpt_{tag}_{self.save_id}.msgpack")
+        save_checkpoint(path, self.params, self.opt_state,
+                        {"lr": self.lr})
+        return path
+
+    def restore_checkpoint(self, path: str):
+        from stargcn_tpu.train.checkpoint import restore_checkpoint
+        self.params, self.opt_state, extra = restore_checkpoint(
+            path, self.params, self.opt_state)
+        if "lr" in extra:
+            self.set_lr(float(extra["lr"]))
+
+
+# ------------------------- jitted step functions -----------------------------
+
+
+def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
+                noise_u, noise_i, recon_mask_u, recon_mask_i, rng):
+    cfg = trainer.model_cfg
+    s = trainer.s
+    g = trainer.graph_data
+    mean, std = trainer.rating_mean, trainer.rating_std
+    fu, fi = trainer.features()
+
+    edge_mask = trainer.edge_masks["train"]
+    if trainer.do_remove:
+        valid = jnp.ones_like(pairs_u, jnp.float32)
+        edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i, valid,
+                                           edge_mask)
+
+    def loss_fn(p):
+        out = trainer.model.apply(
+            {"params": p}, g, edge_mask, noise_u, noise_i,
+            pairs_u, pairs_i, user_features=fu, item_features=fi,
+            train=True, rngs={"dropout": rng})
+        target = (gt_ratings - mean) / std
+        # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614)
+        rating_loss = 0.5 * jnp.mean(
+            (out["pred_ratings"] - target[None, :]) ** 2, axis=1)
+        loss = rating_loss.sum()
+        recon_loss = jnp.zeros(cfg.nblocks)
+        if s.use_dae:
+            rls = []
+            for blk in out["pred_embed"]:
+                block_loss = 0.0
+                for key, m in (("user", recon_mask_u),
+                               ("item", recon_mask_i)):
+                    sq = jnp.sum((blk[key] - out["gt_embed"][key]) ** 2,
+                                 axis=-1)
+                    block_loss += jnp.sum(sq * m) / jnp.maximum(m.sum(), 1.0)
+                rls.append(block_loss)
+            recon_loss = jnp.stack(rls)
+            loss = loss + s.recon_lambda * recon_loss.sum()
+        denorm = out["pred_ratings"] * std + mean
+        sq_err = jnp.sum((denorm - gt_ratings[None, :]) ** 2, axis=1)
+        return loss, (rating_loss, recon_loss, sq_err)
+
+    (loss, (rating_loss, recon_loss, sq_err)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(params)
+    gnorm = optax.global_norm(grads)
+    updates, opt_state = trainer.opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    stats = {"loss": loss, "gnorm": gnorm, "rating_loss": rating_loss,
+             "recon_loss": recon_loss, "sq_err": sq_err}
+    return params, opt_state, stats
+
+
+def _eval_step(trainer, params, pairs_u, pairs_i, gt_ratings, valid,
+               edge_mask, noise_u, noise_i):
+    g = trainer.graph_data
+    fu, fi = trainer.features()
+    out = trainer.model.apply(
+        {"params": params}, g, edge_mask, noise_u, noise_i,
+        pairs_u, pairs_i, user_features=fu, item_features=fi, train=False)
+    denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
+    clipped = jnp.clip(denorm, trainer.rating_min, trainer.rating_max)
+    sq = (clipped - gt_ratings[None, :]) ** 2
+    return jnp.sum(sq * valid[None, :], axis=1)

@@ -1,0 +1,146 @@
+"""Model-level tests: shapes, masking semantics, and reference-equivalent
+behaviors of the STARGCN module."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stargcn_tpu.data import DataIterator
+from stargcn_tpu.data.synthetic import synthetic_graph
+from stargcn_tpu.graph.device import BipartiteGraphData
+from stargcn_tpu.models import STARGCN, STARGCNConfig
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    g = synthetic_graph(num_users=25, num_items=18, num_edges=200,
+                        rating_values=(1, 2, 3), seed=0)
+    csr = g["user", "movie"]
+    gd = BipartiteGraphData.from_csr(csr, pad_multiple=64)
+    cfg = STARGCNConfig(
+        num_users=25, num_items=18, num_links=3, nblocks=2,
+        embed_units=8, agg_units=(12,), out_units=(10,),
+        gcn_dropout=0.3, gen_rating_mid_map=6, agg_accum="stack")
+    model = STARGCN(cfg)
+    B = 16
+    rng = np.random.RandomState(0)
+    pu = jnp.asarray(rng.randint(0, 25, B), jnp.int32)
+    pi = jnp.asarray(rng.randint(0, 18, B), jnp.int32)
+    noise_u = jnp.arange(25, dtype=jnp.int32)
+    noise_i = jnp.arange(18, dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        gd, gd.edge_pad_mask, noise_u, noise_i, pu, pi, train=False)["params"]
+    return g, csr, gd, cfg, model, params, pu, pi, noise_u, noise_i
+
+
+def test_forward_shapes(small_setup):
+    _, _, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    out = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                      pu, pi, train=False)
+    assert out["pred_ratings"].shape == (2, 16)
+    assert len(out["pred_embed"]) == 2
+    assert out["pred_embed"][0]["user"].shape == (25, 8)
+    assert out["pred_embed"][0]["item"].shape == (18, 8)
+    assert out["gt_embed"]["user"].shape == (25, 8)
+    assert np.all(np.isfinite(out["pred_ratings"]))
+
+
+def test_zero_mask_zeroes_embedding(small_setup):
+    """noise == -1 must zero the input embedding (STAR-GCN.py:292-298)."""
+    _, _, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    # all-masked vs identity: outputs must differ, and an all-masked input
+    # with an empty graph must make user outputs independent of user ids.
+    out_id = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                         pu, pi, train=False)
+    out_masked = model.apply({"params": params}, gd, gd.edge_pad_mask,
+                             -jnp.ones_like(nu), -jnp.ones_like(ni),
+                             pu, pi, train=False)
+    assert not np.allclose(out_id["pred_ratings"], out_masked["pred_ratings"])
+    # With everything masked, all user input embeddings are identical
+    # (zero), so any difference comes from graph structure only.
+
+
+def test_noise_redirect(small_setup):
+    """noise[i] = j makes node i use node j's embedding."""
+    _, _, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    # Redirect every user to user 0 — user input features become identical.
+    nu_same = jnp.zeros_like(nu)
+    out = model.apply({"params": params}, gd, gd.edge_pad_mask, nu_same, ni,
+                      pu, pi, train=False)
+    assert np.all(np.isfinite(out["pred_ratings"]))
+
+
+def test_edge_mask_changes_predictions(small_setup):
+    _, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    full = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                       pu, pi, train=False)
+    half_mask = np.asarray(gd.edge_pad_mask).copy()
+    real = np.nonzero(half_mask)[0]
+    half_mask[real[::2]] = 0.0
+    half = model.apply({"params": params}, gd, jnp.asarray(half_mask),
+                       nu, ni, pu, pi, train=False)
+    assert not np.allclose(full["pred_ratings"], half["pred_ratings"])
+
+
+def test_empty_graph_is_finite(small_setup):
+    """Zero-degree nodes must produce finite outputs (support = 0)."""
+    _, _, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    out = model.apply({"params": params}, gd,
+                      jnp.zeros_like(gd.edge_pad_mask), nu, ni, pu, pi,
+                      train=False)
+    assert np.all(np.isfinite(out["pred_ratings"]))
+    assert np.all(np.isfinite(out["pred_embed"][0]["user"]))
+
+
+def test_accum_sum_and_recurrent_variants():
+    g = synthetic_graph(num_users=10, num_items=8, num_edges=60,
+                        rating_values=(1, 2), seed=1)
+    gd = BipartiteGraphData.from_csr(g["user", "movie"], pad_multiple=32)
+    for accum in ("sum", "stack"):
+        for use_rec in (False, True):
+            cfg = STARGCNConfig(
+                num_users=10, num_items=8, num_links=2, nblocks=2,
+                use_recurrent=use_rec, embed_units=4, agg_units=(6,),
+                out_units=(5,), agg_accum=accum, gen_rating_mid_map=4,
+                agg_ordinal_sharing=True)
+            model = STARGCN(cfg)
+            pu = jnp.zeros(4, jnp.int32)
+            pi = jnp.zeros(4, jnp.int32)
+            nu = jnp.arange(10, dtype=jnp.int32)
+            ni = jnp.arange(8, dtype=jnp.int32)
+            params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                gd, gd.edge_pad_mask, nu, ni, pu, pi, train=False)["params"]
+            out = model.apply({"params": params}, gd, gd.edge_pad_mask,
+                              nu, ni, pu, pi, train=False)
+            assert out["pred_ratings"].shape == (2, 4)
+            if use_rec:
+                # recurrent: single encoder block parameter set
+                enc_keys = [k for k in params if k.startswith("enc_b")]
+                assert enc_keys == ["enc_b0"]
+
+
+def test_param_count_structure(small_setup):
+    """Per-rating weights: (R, D, U') with stack splitting units."""
+    _, _, _, cfg, model, params, *_ = small_setup
+    w = params["enc_b0"]["l0"]["agg_user_item"]["weight"]
+    # 3 links, embed 8, stack: 12 units // 3 links = 4 per link
+    assert w.shape == (3, 8, 4)
+    b0_out = params["enc_b0"]["l0"]["out_fc_user"]["kernel"]
+    assert b0_out.shape == (12, 10)
+
+
+def test_dense_backend_matches_xla(small_setup):
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    out_xla = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                          pu, pi, train=False)
+    cfg_d = STARGCNConfig(**{**cfg.__dict__, "backend": "dense"})
+    model_d = STARGCN(cfg_d)
+    out_dense = model_d.apply({"params": params}, gd, gd.edge_pad_mask,
+                              nu, ni, pu, pi, train=False)
+    np.testing.assert_allclose(out_xla["pred_ratings"],
+                               out_dense["pred_ratings"], rtol=2e-4,
+                               atol=2e-4)

@@ -1,0 +1,120 @@
+"""End-to-end training tests on a tiny synthetic graph (CPU)."""
+
+import numpy as np
+import pytest
+
+from stargcn_tpu.data import DataIterator
+from stargcn_tpu.data.synthetic import synthetic_graph
+from stargcn_tpu.train import Trainer, build_model_config
+from stargcn_tpu.train.loop import TrainSettings
+from stargcn_tpu.utils import default_cfg
+
+
+def make_trainer(tmp_dir=None, **cfg_overrides):
+    cfg = default_cfg()
+    cfg.EMBED.UNITS = 8
+    cfg.GCN.AGG.UNITS = [15]  # divisible by the 5 rating levels (stack)
+    cfg.GCN.OUT.UNITS = [10]
+    cfg.GCN.DROPOUT = 0.3
+    cfg.GEN_RATING.MID_MAP = 8
+    cfg.TRAIN.RATING_BATCH_SIZE = 64
+    cfg.TRAIN.LR = 5e-3
+    cfg.TRAIN.GRAD_CLIP = 1.0
+    for k, v in cfg_overrides.items():
+        parts = k.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+
+    g = synthetic_graph(num_users=40, num_items=30, num_edges=500, seed=3)
+    csr = g["user", "movie"]
+    rng = np.random.RandomState(0)
+    pairs = csr.node_pair_ids
+    perm = rng.permutation(pairs.shape[1])
+    test_pairs = pairs[:, perm[:80]]
+    valid_pairs = pairs[:, perm[80:140]]
+    it = DataIterator(g, "user", "movie", test_node_pairs=test_pairs,
+                      valid_node_pairs=valid_pairs,
+                      embed_P_mask=cfg.EMBED.MASK_PROP,
+                      embed_p_zero=cfg.EMBED.P_ZERO,
+                      embed_p_self=1.0 - cfg.EMBED.P_ZERO, seed=11)
+    model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
+                                   len(csr.multi_link))
+    return Trainer(model_cfg, it, TrainSettings.from_cfg(cfg),
+                   save_dir=tmp_dir), cfg
+
+
+def test_loss_decreases():
+    trainer, cfg = make_trainer()
+    result = trainer.fit(max_iter=60)
+    # After 60 full-graph steps the model must beat the trivial
+    # predict-the-mean baseline (RMSE == rating std) on validation.
+    baseline = float(trainer.data_iter.train_ratings.std())
+    assert result["best_valid_rmse"] < baseline, (
+        f"valid rmse {result['best_valid_rmse']} vs baseline {baseline}")
+    assert result["best_test_rmse"] is not None
+
+
+def test_remove_rating_mask_active():
+    trainer, _ = make_trainer()
+    assert trainer.do_remove  # batch (64) < train edges
+    stats = trainer.train_iteration(
+        next(trainer.data_iter.rating_sampler(64, "train")),
+        trainer.prepare_recon_batch(
+            *list(next(trainer.data_iter.recon_nodes_sampler(10**6)))[:3:2]))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_eval_clipping_bounds():
+    trainer, _ = make_trainer()
+    rmse = trainer.evaluate("valid")
+    # clipped predictions bound the worst-case RMSE by the rating range
+    assert rmse.shape == (trainer.model_cfg.nblocks,)
+    assert np.all(rmse <= (trainer.rating_max - trainer.rating_min))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, _ = make_trainer(tmp_dir=str(tmp_path))
+    trainer.fit(max_iter=5)
+    path = trainer.save_checkpoint("t")
+    params_before = trainer.params
+    # wreck params, then restore
+    import jax
+    trainer.params = jax.tree.map(lambda x: x * 0, trainer.params)
+    trainer.restore_checkpoint(path)
+    flat_a = jax.tree.leaves(params_before)
+    flat_b = jax.tree.leaves(trainer.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b)
+
+
+def test_metric_csvs_written(tmp_path):
+    trainer, _ = make_trainer(tmp_dir=str(tmp_path))
+    trainer.fit(max_iter=20)
+    import os
+    assert os.path.exists(tmp_path / "train_loss0.csv")
+    assert os.path.exists(tmp_path / "valid_loss0.csv")
+    with open(tmp_path / "train_loss0.csv") as f:
+        header = f.readline().strip().split(",")
+    assert header[:2] == ["iter", "loss"]
+    assert "rmse0" in header and "recon_loss1" in header
+
+
+def test_no_dae_single_block():
+    trainer, _ = make_trainer(**{"MODEL.USE_DAE": False,
+                                 "MODEL.NBLOCKS": 1})
+    result = trainer.fit(max_iter=30)
+    assert np.isfinite(result["best_valid_rmse"])
+
+
+def test_lr_decay_logic():
+    trainer, _ = make_trainer()
+    lr0 = trainer.lr
+    trainer.set_lr(lr0 * 0.5)
+    assert trainer.lr == lr0 * 0.5
+    stats = trainer.train_iteration(
+        next(trainer.data_iter.rating_sampler(64, "train")),
+        trainer.prepare_recon_batch(
+            *list(next(trainer.data_iter.recon_nodes_sampler(10**6)))[:3:2]))
+    assert np.isfinite(float(stats["loss"]))
