@@ -1,0 +1,80 @@
+"""Sharding layouts for the full-graph STAR-GCN step.
+
+Layout (SPMD via GSPMD — annotate inputs, let XLA insert collectives):
+
+* edge arrays + edge masks: sharded over 'model' — each chip owns an edge
+  shard, computes PARTIAL per-node segment sums, and XLA combines them
+  with a psum (the "edge-set sharding" design from SURVEY.md §2.3/§5:
+  the structural analogue of sequence parallelism for this workload);
+* embedding tables: row-sharded over 'model' (pulled together by XLA
+  all-gathers where full tables are needed);
+* rating/recon batches: sharded over 'data' (gradient psum = DP);
+* everything else: replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class GraphShardings:
+    """Factory for NamedShardings over a ('data','model') mesh."""
+
+    mesh: Mesh
+
+    def _s(self, *spec):
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def edges(self):
+        return self._s("model")
+
+    @property
+    def batch(self):
+        return self._s("data")
+
+    @property
+    def replicated(self):
+        return self._s()
+
+    @property
+    def embed_rows(self):
+        return self._s("model", None)
+
+    def place_graph(self, graph):
+        """Shard a ``BipartiteGraphData``: edge arrays over 'model';
+        lookup arrays replicated (binary search stays local)."""
+        return dataclasses.replace(
+            graph,
+            edge_user=jax.device_put(graph.edge_user, self.edges),
+            edge_item=jax.device_put(graph.edge_item, self.edges),
+            edge_rating=jax.device_put(graph.edge_rating, self.edges),
+            edge_pad_mask=jax.device_put(graph.edge_pad_mask, self.edges),
+            lookup_keys=jax.device_put(graph.lookup_keys, self.replicated),
+            lookup_perm=jax.device_put(graph.lookup_perm, self.replicated),
+        )
+
+    def place_params(self, params, shard_embeddings: bool = True):
+        """Row-shard the embedding tables over 'model'; replicate the rest."""
+
+        def place(path, x):
+            names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if (shard_embeddings and any(
+                    str(n).startswith("embed_") for n in names)
+                    and x.ndim == 2
+                    and x.shape[0] % self.mesh.shape["model"] == 0):
+                return jax.device_put(x, self.embed_rows)
+            return jax.device_put(x, self.replicated)
+
+        return jax.tree_util.tree_map_with_path(place, params)
+
+    def place_batch(self, *arrays):
+        return tuple(jax.device_put(a, self.batch) for a in arrays)
+
+    def place_replicated(self, *arrays):
+        return tuple(jax.device_put(a, self.replicated) for a in arrays)

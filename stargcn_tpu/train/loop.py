@@ -116,10 +116,20 @@ class Trainer:
         self.save_dir = save_dir
         self.save_id = save_id
         self.mesh = mesh
+        self.shardings = None
+        if mesh is not None:
+            from stargcn_tpu.parallel.shardings import GraphShardings
+            self.shardings = GraphShardings(mesh)
 
         all_csr = data_iter.all_graph["user", "movie"]
         self.graph_data = BipartiteGraphData.from_csr(all_csr)
+        if self.shardings is not None:
+            self.graph_data = self.shardings.place_graph(self.graph_data)
         self.edge_masks = self._build_variant_masks(all_csr)
+        if self.shardings is not None:
+            self.edge_masks = {
+                k: jax.device_put(v, self.shardings.edges)
+                for k, v in self.edge_masks.items()}
 
         train_ratings = data_iter.train_ratings
         self.rating_mean = float(train_ratings.mean())
@@ -133,10 +143,15 @@ class Trainer:
         # Reference removes batch edges only when the batch is a strict
         # subset of the training edges (STAR-GCN.py:594).
         self.do_remove = self.s.remove_rating and self.train_batch < n_train
+        # Pad batches to a multiple of the data-parallel axis.
+        dp = 1 if mesh is None else mesh.shape["data"]
+        self.train_batch_padded = -(-self.train_batch // dp) * dp
 
         self._rng_key = jax.random.PRNGKey(self.s.seed)
         self.params = self._init_params()
         self.opt = self._make_optimizer()
+        if self.shardings is not None:
+            self.params = self.shardings.place_params(self.params)
         self.opt_state = self.opt.init(self.params)
         self.lr = self.s.lr
 
@@ -166,7 +181,7 @@ class Trainer:
 
     def _init_params(self):
         self._rng_key, init_key, drop_key = jax.random.split(self._rng_key, 3)
-        B = self.train_batch
+        B = self.train_batch_padded
         dummy = dict(
             graph=self.graph_data,
             edge_mask=self.edge_masks["train"],
@@ -218,10 +233,22 @@ class Trainer:
         (pairs, gt_ratings) = rating_batch
         noise_u, noise_i, recon_mask_u, recon_mask_i = recon_batch
         self._rng_key, step_key = jax.random.split(self._rng_key)
+        B = self.train_batch_padded
+        n = gt_ratings.size
+        pu = np.zeros(B, np.int32)
+        pi = np.zeros(B, np.int32)
+        gt = np.zeros(B, np.float32)
+        valid = np.zeros(B, np.float32)
+        pu[:n], pi[:n], gt[:n], valid[:n] = pairs[0], pairs[1], gt_ratings, 1.0
+        if self.shardings is not None:
+            pu, pi, gt, valid = self.shardings.place_batch(pu, pi, gt, valid)
+            noise_u, noise_i, recon_mask_u, recon_mask_i = \
+                self.shardings.place_replicated(
+                    noise_u, noise_i, recon_mask_u, recon_mask_i)
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state,
-            jnp.asarray(pairs[0]), jnp.asarray(pairs[1]),
-            jnp.asarray(gt_ratings),
+            jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(gt),
+            jnp.asarray(valid),
             jnp.asarray(noise_u), jnp.asarray(noise_i),
             jnp.asarray(recon_mask_u), jnp.asarray(recon_mask_i),
             step_key)
@@ -243,12 +270,17 @@ class Trainer:
         """Per-block RMSE on the given segment (``STAR-GCN.py:465-498``):
         predictions are denormalised and clipped to the rating range."""
         it = self.data_iter
+        dp = 1 if self.mesh is None else self.mesh.shape["data"]
         B = min(self.s.rating_batch_size,
                 max(1, it._valid_node_pairs.shape[1]
                     if segment == "valid" else
                     it._test_node_pairs.shape[1]))
+        B = -(-B // dp) * dp
         noise_u = jnp.asarray(it.evaluate_embed_noise_dict["user"])
         noise_i = jnp.asarray(it.evaluate_embed_noise_dict["movie"])
+        if self.shardings is not None:
+            noise_u, noise_i = self.shardings.place_replicated(
+                noise_u, noise_i)
         mask = self.edge_masks["valid" if segment == "valid" else "test"]
         sq_sum = np.zeros(self.model_cfg.nblocks)
         cnt = 0
@@ -262,6 +294,9 @@ class Trainer:
             valid = np.zeros(B, np.float32)
             pu[:n], pi[:n], gt[:n], valid[:n] = (
                 pairs[0], pairs[1], ratings, 1.0)
+            if self.shardings is not None:
+                pu, pi, gt, valid = self.shardings.place_batch(
+                    pu, pi, gt, valid)
             block_sq = self._eval_step(
                 self.params, jnp.asarray(pu), jnp.asarray(pi),
                 jnp.asarray(gt), jnp.asarray(valid), mask,
@@ -437,7 +472,8 @@ class Trainer:
 
 
 def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
-                noise_u, noise_i, recon_mask_u, recon_mask_i, rng):
+                pairs_valid, noise_u, noise_i, recon_mask_u, recon_mask_i,
+                rng):
     cfg = trainer.model_cfg
     s = trainer.s
     g = trainer.graph_data
@@ -446,9 +482,9 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
 
     edge_mask = trainer.edge_masks["train"]
     if trainer.do_remove:
-        valid = jnp.ones_like(pairs_u, jnp.float32)
-        edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i, valid,
+        edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i, pairs_valid,
                                            edge_mask)
+    n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
 
     def loss_fn(p):
         out = trainer.model.apply(
@@ -456,9 +492,11 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
             pairs_u, pairs_i, user_features=fu, item_features=fi,
             train=True, rngs={"dropout": rng})
         target = (gt_ratings - mean) / std
-        # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614)
-        rating_loss = 0.5 * jnp.mean(
-            (out["pred_ratings"] - target[None, :]) ** 2, axis=1)
+        # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614);
+        # padded batch slots carry zero weight.
+        sq = (out["pred_ratings"] - target[None, :]) ** 2
+        rating_loss = 0.5 * jnp.sum(sq * pairs_valid[None, :],
+                                    axis=1) / n_valid
         loss = rating_loss.sum()
         recon_loss = jnp.zeros(cfg.nblocks)
         if s.use_dae:
@@ -474,7 +512,8 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
             recon_loss = jnp.stack(rls)
             loss = loss + s.recon_lambda * recon_loss.sum()
         denorm = out["pred_ratings"] * std + mean
-        sq_err = jnp.sum((denorm - gt_ratings[None, :]) ** 2, axis=1)
+        sq_err = jnp.sum((denorm - gt_ratings[None, :]) ** 2
+                         * pairs_valid[None, :], axis=1)
         return loss, (rating_loss, recon_loss, sq_err)
 
     (loss, (rating_loss, recon_loss, sq_err)), grads = \
