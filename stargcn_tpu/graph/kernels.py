@@ -235,6 +235,157 @@ def random_sample_fix_neighbor(ind_ptr, sel_indices, num_neighbors,
     return out, new_ind_ptr
 
 
+def random_walk(end_points, ind_ptr, initial_node=-1, walk_length=100,
+                return_prob=0.15, max_node_num=10**9, max_edge_num=10**12):
+    """KDD'06-style random-walk subgraph sampling -> (src, dst) edge arrays.
+
+    Reference: ``GraphSampler::random_walk`` (``graph_sampler.cpp:476-506``).
+    """
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    if _native is not None:
+        return _native.random_walk(end_points, ind_ptr, int(initial_node),
+                                   int(walk_length), float(return_prob),
+                                   int(max_node_num), int(max_edge_num))
+    rng = np.random.RandomState(_seed_state["seed"])
+    node_num = ind_ptr.size - 1
+    if initial_node < 0:
+        initial_node = rng.randint(node_num)
+    cur, edges, nodes = initial_node, set(), {initial_node}
+    src, dst = [], []
+    for _ in range(walk_length):
+        if rng.rand() < return_prob:
+            cur = initial_node
+            continue
+        beg, end = ind_ptr[cur], ind_ptr[cur + 1]
+        if end <= beg:
+            break
+        nxt = int(end_points[rng.randint(beg, end)])
+        if (cur, nxt) not in edges:
+            if len(edges) >= max_edge_num:
+                break
+            nodes.add(nxt)
+            if len(nodes) > max_node_num:
+                break
+            edges.add((cur, nxt))
+            src.append(cur)
+            dst.append(nxt)
+        cur = nxt
+    return (np.asarray(src, np.int32), np.asarray(dst, np.int32))
+
+
+def get_random_walk_nodes(end_points, ind_ptr, initial_node,
+                          max_node_num, walk_length):
+    """Visited nodes along a plain random walk (reference
+    ``get_random_walk_nodes``, ``graph_sampler.cpp:669-700``)."""
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    if _native is not None:
+        return _native.get_random_walk_nodes(
+            end_points, ind_ptr, int(initial_node), int(max_node_num),
+            int(walk_length))
+    rng = np.random.RandomState(_seed_state["seed"])
+    seen = [int(initial_node)]
+    seen_set = {int(initial_node)}
+    cur = int(initial_node)
+    for _ in range(walk_length):
+        beg, end = ind_ptr[cur], ind_ptr[cur + 1]
+        if end <= beg:
+            break
+        cur = int(end_points[rng.randint(beg, end)])
+        if cur not in seen_set:
+            seen_set.add(cur)
+            seen.append(cur)
+        if len(seen_set) >= max_node_num:
+            break
+    return np.asarray(seen, np.int32)
+
+
+def uniform_neg_sampling(end_points, ind_ptr, target_indices, node_num,
+                         neg_sample_scale=1.0, replace=False):
+    """Positive + uniform-negative edges per target node (reference
+    ``uniform_neg_sampling``, ``graph_sampler.cpp:599-668``).  Returns
+    ``(end_points, ind_ptr, edge_label (+1/-1), edge_count)``."""
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    target_indices = np.ascontiguousarray(target_indices, dtype=np.int32)
+    if _native is not None:
+        return _native.uniform_neg_sampling(
+            end_points, ind_ptr, target_indices, int(node_num),
+            float(neg_sample_scale), int(replace))
+    rng = np.random.RandomState(_seed_state["seed"])
+    out_ep, out_label, out_cnt = [], [], []
+    out_ptr = [0]
+    for ind in target_indices:
+        beg, end = ind_ptr[ind], ind_ptr[ind + 1]
+        pos = end - beg
+        if pos > 0:
+            pos_set = set(end_points[beg:end].tolist())
+            want = min(int(np.ceil(pos * neg_sample_scale)), int(node_num))
+            out_ep.extend(end_points[beg:end].tolist())
+            out_label.extend([1] * pos)
+            out_cnt.extend([1] * pos)
+            candidates = np.setdiff1d(np.arange(node_num),
+                                      np.asarray(sorted(pos_set)))
+            if candidates.size:
+                k = min(want, candidates.size) if not replace else want
+                negs = rng.choice(candidates, size=k, replace=replace)
+                if replace:
+                    vals, cnts = np.unique(negs, return_counts=True)
+                    out_ep.extend(vals.tolist())
+                    out_cnt.extend(cnts.tolist())
+                    out_label.extend([-1] * vals.size)
+                else:
+                    out_ep.extend(negs.tolist())
+                    out_cnt.extend([1] * k)
+                    out_label.extend([-1] * k)
+        out_ptr.append(len(out_ep))
+    return (np.asarray(out_ep, np.int32), np.asarray(out_ptr, np.int32),
+            np.asarray(out_label, np.int32), np.asarray(out_cnt, np.int32))
+
+
+def random_sel_neighbor_and_merge(end_points, ind_ptr, node_ids,
+                                  sel_indices, num_neighbors):
+    """Fanout-sample neighbors and merge (selected + neighbors) into a
+    first-occurrence-unique frontier (reference
+    ``random_sel_neighbor_and_merge``, ``graph_sampler.cpp:781-875``).
+
+    Returns ``(dst_end_points [positions in merged], dst_ind_ptr,
+    merged_node_ids, indices_in_merged)``.
+    """
+    end_points = np.ascontiguousarray(end_points, dtype=np.int32)
+    ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
+    node_ids = np.ascontiguousarray(node_ids, dtype=np.int32)
+    sel_indices = np.ascontiguousarray(sel_indices, dtype=np.int32)
+    if _native is not None:
+        return _native.random_sel_neighbor_and_merge(
+            end_points, ind_ptr, node_ids, sel_indices, int(num_neighbors))
+    rng = np.random.RandomState(_seed_state["seed"])
+    merged, merged_map = [], {}
+
+    def intern(nid):
+        nid = int(nid)
+        if nid not in merged_map:
+            merged_map[nid] = len(merged)
+            merged.append(nid)
+        return merged_map[nid]
+
+    dst_ep, dst_ptr, sel_in_merged = [], [0], []
+    for ind in sel_indices:
+        sel_in_merged.append(intern(node_ids[ind]))
+        beg, end = ind_ptr[ind], ind_ptr[ind + 1]
+        deg = end - beg
+        take = deg if num_neighbors < 0 else min(deg, num_neighbors)
+        picks = (np.arange(beg, end) if take == deg else
+                 rng.choice(np.arange(beg, end), take, replace=False))
+        for j in picks:
+            dst_ep.append(intern(node_ids[end_points[j]]))
+        dst_ptr.append(len(dst_ep))
+    return (np.asarray(dst_ep, np.int32), np.asarray(dst_ptr, np.int32),
+            np.asarray(merged, np.int32),
+            np.asarray(sel_in_merged, np.int32))
+
+
 def remove_edges_by_indices(ind_ptr, end_points, remove_edge_idx):
     """New CSR without the edges at the given positions (reference
     ``remove_edges``/``remove_edges_omp``, ``graph_sampler.cpp:154-275``).

@@ -1,0 +1,172 @@
+"""Fixed-fanout block sampling for mini-batch training/inference.
+
+The TPU-shaped replacement for the reference's host planning phase
+(``StackedHeterGCNLayers.gen_plan``, ``mxgraph/layers/layers.py:260-337``):
+where the reference builds variable-size per-depth CSR pieces each
+iteration, this sampler emits STATIC-shape padded ELL blocks (node counts
+padded to a fixed multiple, fanout capped at K) so one compiled XLA
+program serves every batch.  The layer-frontier construction uses the
+native ``random_sel_neighbor_and_merge`` primitive
+(``graph_sampler.cpp:781-875``).
+
+Intended for graphs too large for full-graph propagation (the full-graph
+path is exact and preferred at MovieLens scale — every shipped reference
+config uses ``NUM_NEIGHBORS = -1`` anyway).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from stargcn_tpu.graph import kernels as K
+
+
+def _pad_to(n, multiple):
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+@dataclasses.dataclass
+class EllBlock:
+    """One aggregation step: dst frontier <- src frontier.
+
+    ``nbr_pos[i, k]`` indexes the SRC frontier array; ``weight`` carries
+    support x validity (0 on padded slots); ``rating`` the per-slot
+    rating-level index.
+    """
+
+    nbr_pos: np.ndarray      # (num_dst_pad, K) int32
+    weight: np.ndarray       # (num_dst_pad, K) f32
+    rating: np.ndarray       # (num_dst_pad, K) int32
+    num_dst_real: int
+
+
+@dataclasses.dataclass
+class SampledBlocks:
+    """L-layer bipartite computation plan with fixed shapes.
+
+    ``frontiers[l]`` = {'user': ids, 'item': ids} (padded with -1) for
+    level l; level 0 is the input level.  ``blocks[l][t]`` aggregates
+    INTO type t's level-(l+1) frontier FROM the other type's level-l
+    frontier.
+    """
+
+    frontiers: List[dict]
+    blocks: List[dict]
+    target_pos: dict         # positions of the original targets in the
+                             # top frontier
+
+
+class BlockSampler:
+    """Samples fixed-shape L-layer blocks from a ``HeterGraph``."""
+
+    def __init__(self, graph, num_layers: int, fanout: int = -1,
+                 symm: bool = True, node_pad: int = 128,
+                 name_user: str = "user", name_item: str = "movie"):
+        self.graph = graph
+        self.num_layers = num_layers
+        self.fanout = fanout
+        self.symm = symm
+        self.node_pad = node_pad
+        self.nu, self.ni = name_user, name_item
+        self._csr = {
+            "user": graph[name_user, name_item],   # rows = users
+            "item": graph[name_item, name_user],   # rows = items
+        }
+        self._support = {
+            t: self._csr[t].get_support(symm) for t in ("user", "item")}
+        self._rating_idx = {
+            t: np.searchsorted(self._csr[t].multi_link,
+                               self._csr[t].values).astype(np.int32)
+            for t in ("user", "item")}
+
+    def sample(self, target_user_ids, target_item_ids) -> SampledBlocks:
+        """Top-down frontier construction, bottom-up ELL blocks."""
+        frontier = {"user": np.asarray(target_user_ids, np.int32),
+                    "item": np.asarray(target_item_ids, np.int32)}
+        target_pos = {
+            "user": np.arange(frontier["user"].size, dtype=np.int32),
+            "item": np.arange(frontier["item"].size, dtype=np.int32)}
+        levels = [frontier]
+        raw_blocks = []
+        for _ in range(self.num_layers):
+            prev = {}
+            blocks = {}
+            for t, other in (("user", "item"), ("item", "user")):
+                csr = self._csr[t]
+                sel = csr.row_id_to_ind(levels[-1][t])
+                # sample K neighbors per frontier node; the merged array
+                # is the other type's next frontier contribution
+                sampled_idx, ptr = K.random_sample_fix_neighbor(
+                    csr.ind_ptr, sel.astype(np.int32), self.fanout)
+                nbr_ids = csr.col_ids[csr.end_points[sampled_idx]]
+                sup = self._support[t][sampled_idx]
+                rat = self._rating_idx[t][sampled_idx]
+                blocks[t] = (nbr_ids, ptr, sup, rat)
+                prev[other] = nbr_ids
+            # prev-level frontier per type = its own frontier (self rows
+            # feed the NEXT layer's aggregation of the other type) plus
+            # sampled neighbor ids
+            new_frontier = {}
+            for t in ("user", "item"):
+                uniq, _ = K.unique_inverse(np.concatenate(
+                    [levels[-1][t], prev.get(t, np.zeros(0, np.int32))]))
+                new_frontier[t] = uniq
+            levels.append(new_frontier)
+            raw_blocks.append(blocks)
+
+        # Bottom-up: levels reversed so level 0 = deepest frontier.
+        levels = levels[::-1]
+        raw_blocks = raw_blocks[::-1]
+        frontiers_padded = []
+        pos_maps = []
+        for lvl in levels:
+            padded = {}
+            pmap = {}
+            for t in ("user", "item"):
+                ids = lvl[t]
+                pad = _pad_to(ids.size, self.node_pad)
+                arr = np.full(pad, -1, np.int32)
+                arr[:ids.size] = ids
+                padded[t] = arr
+                pmap[t] = {int(v): i for i, v in enumerate(ids)}
+            frontiers_padded.append(padded)
+            pos_maps.append(pmap)
+
+        blocks_out = []
+        for li, blocks in enumerate(raw_blocks):
+            lvl_blocks = {}
+            for t, other in (("user", "item"), ("item", "user")):
+                nbr_ids, ptr, sup, rat = blocks[t]
+                dst_ids = levels[li + 1][t]
+                n_dst = _pad_to(dst_ids.size, self.node_pad)
+                fan = (self.fanout if self.fanout > 0
+                       else int(max(np.diff(ptr), default=1)))
+                nbr_pos = np.zeros((n_dst, fan), np.int32)
+                weight = np.zeros((n_dst, fan), np.float32)
+                rating = np.zeros((n_dst, fan), np.int32)
+                src_map = pos_maps[li][other]
+                for i in range(dst_ids.size):
+                    beg, end = ptr[i], ptr[i + 1]
+                    for k, j in enumerate(range(beg, end)):
+                        nbr_pos[i, k] = src_map[int(nbr_ids[j])]
+                        weight[i, k] = sup[j]
+                        rating[i, k] = rat[j]
+                lvl_blocks[t] = EllBlock(nbr_pos, weight, rating,
+                                         num_dst_real=dst_ids.size)
+            blocks_out.append(lvl_blocks)
+
+        # target positions in the TOP (last) frontier
+        top_map = pos_maps[-1]
+        tpos = {
+            "user": np.asarray([top_map["user"][int(v)]
+                                for v in np.asarray(target_user_ids)],
+                               np.int32),
+            "item": np.asarray([top_map["item"][int(v)]
+                                for v in np.asarray(target_item_ids)],
+                               np.int32),
+        }
+        return SampledBlocks(frontiers=frontiers_padded, blocks=blocks_out,
+                             target_pos=tpos)

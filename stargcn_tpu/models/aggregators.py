@@ -50,7 +50,8 @@ class MultiLinkGCNAggregator(nn.Module):
 
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
-                 num_dst, *, train: bool = False, dense_support=None):
+                 num_dst, *, train: bool = False, dense_support=None,
+                 dense_transposed: bool = False):
         if self.accum == "stack":
             assert self.units % self.num_links == 0, (
                 "units must be divisible by num_links for 'stack'")
@@ -71,7 +72,8 @@ class MultiLinkGCNAggregator(nn.Module):
         out = multi_link_aggregate(
             proj, edge_src, edge_dst, edge_rating, support, num_dst,
             accum=self.accum, backend=self.backend,
-            dense_support=dense_support)
+            dense_support=dense_support,
+            dense_transposed=dense_transposed)
         return get_activation(self.act)(out)
 
 

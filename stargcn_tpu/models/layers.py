@@ -35,6 +35,13 @@ class Relation:
     edge_rating: jax.Array
     support: jax.Array
     num_links: int = dataclasses.field(metadata=dict(static=True))
+    # Optional pre-built dense support tensor for the MXU backend:
+    # (R, num_dst, num_src), or (R, num_src, num_dst) when
+    # ``dense_transposed`` (shared between both directions of a
+    # symmetric-normalised bipartite graph).
+    dense_support: jax.Array | None = None
+    dense_transposed: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
 
 class HeterGCNLayer(nn.Module):
@@ -90,7 +97,9 @@ class HeterGCNLayer(nn.Module):
                 pooled.append(dropout(agg(
                     features[s], rel.edge_src, rel.edge_dst,
                     rel.edge_rating, rel.support,
-                    num_dst=features[t].shape[0], train=train)))
+                    num_dst=features[t].shape[0], train=train,
+                    dense_support=rel.dense_support,
+                    dense_transposed=rel.dense_transposed)))
             if self.accum_self:
                 h = dropout(features[t])
                 h = nn.Dense(out_units[t], kernel_init=xavier_in,

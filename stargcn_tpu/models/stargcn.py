@@ -120,15 +120,36 @@ class STARGCN(nn.Module):
                                  graph.edge_item, mask, symm=False)
             sup_i = edge_support(deg_i, deg_u, graph.edge_item,
                                  graph.edge_user, mask, symm=False)
+        # For the MXU backend, scatter the per-edge support into a dense
+        # (R, Nu, Ni) tensor ONCE per step; both aggregation directions and
+        # every block then run as pure batched matmuls (the support has no
+        # parameter dependence, so gradients never flow through the
+        # scatter — stop_gradient keeps the backward pass matmul-only).
+        dense_u = dense_i = None
+        dense_i_transposed = False
+        if cfg.backend == "dense":
+            from stargcn_tpu.ops.agg import build_dense_support
+
+            dense_u = jax.lax.stop_gradient(build_dense_support(
+                graph.edge_item, graph.edge_user, graph.edge_rating,
+                sup_u, graph.num_links, graph.num_users, graph.num_items))
+            if cfg.agg_norm_symm:
+                dense_i, dense_i_transposed = dense_u, True
+            else:
+                dense_i = jax.lax.stop_gradient(build_dense_support(
+                    graph.edge_user, graph.edge_item, graph.edge_rating,
+                    sup_i, graph.num_links, graph.num_items,
+                    graph.num_users))
         relations = {
             ("user", "item"): Relation(
                 edge_src=graph.edge_item, edge_dst=graph.edge_user,
                 edge_rating=graph.edge_rating, support=sup_u,
-                num_links=graph.num_links),
+                num_links=graph.num_links, dense_support=dense_u),
             ("item", "user"): Relation(
                 edge_src=graph.edge_user, edge_dst=graph.edge_item,
                 edge_rating=graph.edge_rating, support=sup_i,
-                num_links=graph.num_links),
+                num_links=graph.num_links, dense_support=dense_i,
+                dense_transposed=dense_i_transposed),
         }
         meta = {"user": ["item"], "item": ["user"]}
 

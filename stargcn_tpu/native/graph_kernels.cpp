@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <random>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #ifdef _OPENMP
@@ -511,7 +512,242 @@ PyObject* py_remove_edges(PyObject*, PyObject* args) {
   return PyTuple_Pack(2, a, keep_obj);
 }
 
+// KDD'06-style random walk returning the visited edge list (reference
+// GraphSampler::random_walk, graph_sampler.cpp:476-506: with probability
+// ``return_prob`` jump back to the initial node, else step to a uniform
+// neighbor; collect traversed edges up to node/edge caps).
+PyObject* py_random_walk(PyObject*, PyObject* args) {
+  PyObject *ep_obj, *p_obj;
+  int initial_node, walk_length, max_node_num;
+  long long max_edge_num;
+  double return_prob;
+  if (!PyArg_ParseTuple(args, "OOiidiL", &ep_obj, &p_obj, &initial_node,
+                        &walk_length, &return_prob, &max_node_num,
+                        &max_edge_num)) return nullptr;
+  I32View ep, p;
+  if (!as_i32(ep_obj, &ep)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
+  int node_num = static_cast<int>(p.size) - 1;
+  std::mt19937& eng = engine_for_thread();
+  if (initial_node < 0) {
+    std::uniform_int_distribution<int> dis(0, node_num - 1);
+    initial_node = dis(eng);
+  }
+  std::bernoulli_distribution dis_return(return_prob);
+  std::vector<int32_t> src, dst;
+  std::unordered_set<int64_t> edge_set;
+  std::unordered_set<int32_t> node_set{initial_node};
+  int cur = initial_node;
+  for (int i = 0; i < walk_length; ++i) {
+    int nxt;
+    bool returned = dis_return(eng);
+    if (returned) {
+      nxt = initial_node;
+    } else {
+      int beg = p.data[cur], end = p.data[cur + 1];
+      if (end <= beg) break;
+      std::uniform_int_distribution<int> dis(beg, end - 1);
+      nxt = ep.data[dis(eng)];
+      int64_t key = static_cast<int64_t>(cur) * node_num + nxt;
+      if (!edge_set.count(key)) {
+        if (static_cast<long long>(edge_set.size()) >= max_edge_num) break;
+        node_set.insert(nxt);
+        if (static_cast<int>(node_set.size()) > max_node_num) break;
+        edge_set.insert(key);
+        src.push_back(cur);
+        dst.push_back(nxt);
+      }
+    }
+    cur = nxt;
+  }
+  Py_DECREF(ep.arr); Py_DECREF(p.arr);
+  PyObject* a = make_i32(src);
+  PyObject* b = make_i32(dst);
+  return PyTuple_Pack(2, a, b);
+}
+
+// Visited-node collection along a plain random walk (reference
+// get_random_walk_nodes, graph_sampler.cpp:669-700).
+PyObject* py_get_random_walk_nodes(PyObject*, PyObject* args) {
+  PyObject *ep_obj, *p_obj;
+  int initial_node, max_node_num, walk_length;
+  if (!PyArg_ParseTuple(args, "OOiii", &ep_obj, &p_obj, &initial_node,
+                        &max_node_num, &walk_length)) return nullptr;
+  I32View ep, p;
+  if (!as_i32(ep_obj, &ep)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
+  std::mt19937& eng = engine_for_thread();
+  std::unordered_set<int32_t> seen{initial_node};
+  std::vector<int32_t> order{initial_node};
+  int cur = initial_node;
+  for (int i = 0; i < walk_length; ++i) {
+    int beg = p.data[cur], end = p.data[cur + 1];
+    if (end <= beg) break;
+    std::uniform_int_distribution<int> dis(beg, end - 1);
+    cur = ep.data[dis(eng)];
+    if (seen.insert(cur).second) order.push_back(cur);
+    if (static_cast<int>(seen.size()) >= max_node_num) break;
+  }
+  Py_DECREF(ep.arr); Py_DECREF(p.arr);
+  return make_i32(order);
+}
+
+// Positive + uniform-negative edge sets per target node (reference
+// uniform_neg_sampling, graph_sampler.cpp:599-668: negatives drawn
+// uniformly from NON-neighbors via a swap-pool over [0, node_num)).
+PyObject* py_uniform_neg_sampling(PyObject*, PyObject* args) {
+  PyObject *ep_obj, *p_obj, *tgt_obj;
+  int node_num, replace;
+  double scale;
+  if (!PyArg_ParseTuple(args, "OOOidi", &ep_obj, &p_obj, &tgt_obj,
+                        &node_num, &scale, &replace)) return nullptr;
+  I32View ep, p, tgt;
+  if (!as_i32(ep_obj, &ep)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
+  if (!as_i32(tgt_obj, &tgt)) {
+    Py_DECREF(ep.arr); Py_DECREF(p.arr); return nullptr;
+  }
+  std::mt19937& eng = engine_for_thread();
+  std::vector<int32_t> out_ep, out_label, out_cnt, out_ptr(tgt.size + 1, 0);
+  for (npy_intp i = 0; i < tgt.size; ++i) {
+    int ind = tgt.data[i];
+    int beg = p.data[ind], end = p.data[ind + 1];
+    int pos = end - beg;
+    if (pos > 0) {
+      int want = std::min(
+          static_cast<int>(std::ceil(pos * scale)), node_num);
+      for (int j = beg; j < end; ++j) {
+        out_ep.push_back(ep.data[j]);
+        out_label.push_back(1);
+        out_cnt.push_back(1);
+      }
+      // Swap-pool: virtually permute [0, node_num) so the first ``pos``
+      // slots hold the positives, then draw from [pos, node_num).
+      std::unordered_map<int, int> pool, pos_of;
+      for (int j = 0; j < pos; ++j) {
+        int val = ep.data[beg + j];
+        auto itv = pos_of.find(val);
+        int val_pos = (itv == pos_of.end()) ? val : itv->second;
+        if (val_pos < pos && val_pos != j) { /* already placed */ }
+        auto itj = pool.find(j);
+        int jth_val = (itj == pool.end()) ? j : itj->second;
+        pos_of[val] = j;
+        pos_of[jth_val] = val_pos;
+        pool[val_pos] = jth_val;
+        pool[j] = val;
+      }
+      auto lookup = [&pool](int v) {
+        auto it = pool.find(v);
+        return it == pool.end() ? v : it->second;
+      };
+      if (replace) {
+        std::unordered_map<int, int> counts;
+        std::uniform_int_distribution<int> dis(pos, node_num - 1);
+        for (int j = 0; j < want && pos < node_num; ++j) {
+          ++counts[lookup(dis(eng))];
+        }
+        for (const auto& kv : counts) {
+          out_ep.push_back(kv.first);
+          out_label.push_back(-1);
+          out_cnt.push_back(kv.second);
+        }
+      } else {
+        int lower = pos;
+        for (int j = 0; j < want && lower < node_num; ++j, ++lower) {
+          std::uniform_int_distribution<int> dis(lower, node_num - 1);
+          int v = dis(eng);
+          out_ep.push_back(lookup(v));
+          out_label.push_back(-1);
+          out_cnt.push_back(1);
+          auto itl = pool.find(lower);
+          pool[v] = (itl == pool.end()) ? lower : itl->second;
+        }
+      }
+    }
+    out_ptr[i + 1] = static_cast<int32_t>(out_ep.size());
+  }
+  Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(tgt.arr);
+  PyObject* a = make_i32(out_ep);
+  PyObject* b = make_i32(out_ptr);
+  PyObject* c = make_i32(out_label);
+  PyObject* d = make_i32(out_cnt);
+  return PyTuple_Pack(4, a, b, c, d);
+}
+
+// Sample fixed-fanout neighbors of selected nodes and merge them (plus
+// the selected nodes) into a first-occurrence-unique id list (reference
+// random_sel_neighbor_and_merge, graph_sampler.cpp:781-875) — the
+// layer-frontier builder for sampled mini-batch training.
+// Returns (dst_end_points [positions in merged], dst_ind_ptr,
+//          merged_node_ids, indices_in_merged [per selected node]).
+PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
+  PyObject *ep_obj, *p_obj, *ids_obj, *sel_obj;
+  int neighbor_num;
+  if (!PyArg_ParseTuple(args, "OOOOi", &ep_obj, &p_obj, &ids_obj,
+                        &sel_obj, &neighbor_num)) return nullptr;
+  I32View ep, p, ids, sel;
+  if (!as_i32(ep_obj, &ep)) return nullptr;
+  if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
+  if (!as_i32(ids_obj, &ids)) {
+    Py_DECREF(ep.arr); Py_DECREF(p.arr); return nullptr;
+  }
+  if (!as_i32(sel_obj, &sel)) {
+    Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(ids.arr);
+    return nullptr;
+  }
+  std::mt19937& eng = engine_for_thread();
+  std::unordered_map<int32_t, int32_t> merged_map;
+  std::vector<int32_t> merged_ids;
+  auto intern = [&](int32_t node_id) {
+    auto it = merged_map.find(node_id);
+    if (it != merged_map.end()) return it->second;
+    int32_t idx = static_cast<int32_t>(merged_ids.size());
+    merged_map.emplace(node_id, idx);
+    merged_ids.push_back(node_id);
+    return idx;
+  };
+  std::vector<int32_t> dst_ep, dst_ptr(sel.size + 1, 0), sel_in_merged;
+  for (npy_intp i = 0; i < sel.size; ++i) {
+    int ind = sel.data[i];
+    sel_in_merged.push_back(intern(ids.data[ind]));
+    int beg = p.data[ind], end = p.data[ind + 1];
+    int deg = end - beg;
+    int take = (neighbor_num < 0) ? deg : std::min(deg, neighbor_num);
+    if (take == deg) {
+      for (int j = beg; j < end; ++j)
+        dst_ep.push_back(intern(ids.data[ep.data[j]]));
+    } else {
+      std::unordered_map<int, int> pool;
+      for (int lower = 0; lower < take; ++lower) {
+        std::uniform_int_distribution<int> dis(lower, deg - 1);
+        int v = dis(eng);
+        auto it = pool.find(v);
+        int pick = (it == pool.end()) ? v : it->second;
+        dst_ep.push_back(intern(ids.data[ep.data[beg + pick]]));
+        auto itl = pool.find(lower);
+        pool[v] = (itl == pool.end()) ? lower : itl->second;
+      }
+    }
+    dst_ptr[i + 1] = static_cast<int32_t>(dst_ep.size());
+  }
+  Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(ids.arr);
+  Py_DECREF(sel.arr);
+  PyObject* a = make_i32(dst_ep);
+  PyObject* b = make_i32(dst_ptr);
+  PyObject* c = make_i32(merged_ids);
+  PyObject* d = make_i32(sel_in_merged);
+  return PyTuple_Pack(4, a, b, c, d);
+}
+
 PyMethodDef kMethods[] = {
+    {"random_walk", py_random_walk, METH_VARARGS,
+     "KDD'06 random-walk subgraph sampling -> (src, dst) edges."},
+    {"get_random_walk_nodes", py_get_random_walk_nodes, METH_VARARGS,
+     "Nodes visited along a random walk."},
+    {"uniform_neg_sampling", py_uniform_neg_sampling, METH_VARARGS,
+     "Positive + uniform negative edges per target node."},
+    {"random_sel_neighbor_and_merge", py_sample_and_merge, METH_VARARGS,
+     "Fanout sampling + merge into unique node frontier."},
     {"set_seed", py_set_seed, METH_VARARGS, "Seed sampler RNG engines."},
     {"unique_inverse", py_unique_inverse, METH_VARARGS,
      "First-occurrence unique + inverse indices."},

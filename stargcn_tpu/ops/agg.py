@@ -83,6 +83,7 @@ def multi_link_aggregate(
     accum: str = "stack",
     backend: str = "xla",
     dense_support: jax.Array | None = None,
+    dense_transposed: bool = False,
 ) -> jax.Array:
     """Per-rating-level weighted aggregation into destination nodes.
 
@@ -114,13 +115,18 @@ def multi_link_aggregate(
                 edge_src, edge_dst, edge_rating, support, num_links,
                 num_dst, num_src,
             )
-        # (R, D, S) @ (R, S, U) -> (R, D, U): pure MXU batched matmul.
-        pooled = jnp.einsum(
-            "rds,rsu->dru",
-            dense_support,
-            proj,
-            preferred_element_type=jnp.float32,
-        )
+        # Pure MXU batched matmul.  When ``dense_transposed`` the tensor is
+        # laid out (R, num_src, num_dst) — the same array serves both
+        # aggregation directions without materialising a transpose (the
+        # support of a symmetric-normalised bipartite graph is shared).
+        if dense_transposed:
+            pooled = jnp.einsum(
+                "rsd,rsu->dru", dense_support, proj,
+                preferred_element_type=jnp.float32)
+        else:
+            pooled = jnp.einsum(
+                "rds,rsu->dru", dense_support, proj,
+                preferred_element_type=jnp.float32)
     elif backend == "xla":
         # Flat gather over the (rating, src) axes folded together, then one
         # scatter-add over (dst, rating) folded together.

@@ -37,6 +37,16 @@ from stargcn_tpu.models.stargcn import STARGCN, STARGCNConfig
 from stargcn_tpu.utils.logging import MetricLogger
 
 
+def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
+    """'auto' picks the dense MXU backend when the (R, Nu, Ni) support
+    tensor is small enough to live in HBM comfortably, else the XLA
+    gather/scatter path."""
+    if backend != "auto":
+        return backend
+    entries = num_links * num_users * num_items
+    return "dense" if entries <= 150_000_000 else "xla"
+
+
 def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
     """Translate the experiment config tree into a STARGCNConfig."""
     return STARGCNConfig(
@@ -59,7 +69,8 @@ def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
         agg_ordinal_sharing=cfg.GCN.AGG.get("ORDINAL_SHARING", False),
         out_units=tuple(cfg.GCN.OUT.UNITS),
         gen_rating_mid_map=cfg.GEN_RATING.MID_MAP,
-        backend=cfg.KERNEL.BACKEND,
+        backend=resolve_backend(cfg.KERNEL.BACKEND, num_links,
+                                num_users, num_items),
     )
 
 

@@ -114,7 +114,7 @@ def default_cfg() -> EasyDict:
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()
-    cfg.KERNEL.BACKEND = "xla"  # xla | dense | pallas
+    cfg.KERNEL.BACKEND = "auto"  # auto | xla | dense | pallas
     cfg.PARALLEL = EasyDict()
     cfg.PARALLEL.DATA_AXIS = 1   # data-parallel mesh size
     cfg.PARALLEL.MODEL_AXIS = 1  # edge/model-parallel mesh size

@@ -1,0 +1,109 @@
+"""Tests for the random-walk / negative-sampling / sample-and-merge host
+kernels (native + NumPy fallback)."""
+
+import numpy as np
+import pytest
+
+from stargcn_tpu.graph import kernels as K
+
+
+@pytest.fixture
+def chain_graph():
+    # 0-1-2-3-4 path graph (undirected CSR)
+    ep = np.array([1, 0, 2, 1, 3, 2, 4, 3], np.int32)
+    ptr = np.array([0, 1, 3, 5, 7, 8], np.int32)
+    return ep, ptr
+
+
+def test_random_walk_edges_valid(chain_graph):
+    ep, ptr = chain_graph
+    K.set_seed(5)
+    src, dst = K.random_walk(ep, ptr, initial_node=2, walk_length=200,
+                             return_prob=0.2, max_node_num=5,
+                             max_edge_num=100)
+    assert src.size == dst.size > 0
+    edge_set = {(int(ptr[s]), int(ptr[s + 1])) for s in src}
+    for s, d in zip(src, dst):
+        assert d in ep[ptr[s]:ptr[s + 1]], (s, d)
+    # no duplicate edges
+    pairs = list(zip(src.tolist(), dst.tolist()))
+    assert len(pairs) == len(set(pairs))
+
+
+def test_random_walk_node_cap(chain_graph):
+    ep, ptr = chain_graph
+    K.set_seed(5)
+    src, dst = K.random_walk(ep, ptr, initial_node=0, walk_length=500,
+                             return_prob=0.0, max_node_num=3,
+                             max_edge_num=1000)
+    assert len(set(src.tolist()) | set(dst.tolist())) <= 3
+
+
+def test_get_random_walk_nodes(chain_graph):
+    ep, ptr = chain_graph
+    K.set_seed(7)
+    nodes = K.get_random_walk_nodes(ep, ptr, initial_node=2,
+                                    max_node_num=3, walk_length=100)
+    assert nodes[0] == 2
+    assert np.unique(nodes).size == nodes.size
+    assert nodes.size <= 3
+
+
+def test_uniform_neg_sampling(chain_graph):
+    ep, ptr = chain_graph
+    K.set_seed(9)
+    tgt = np.array([1, 3], np.int32)
+    e, p, label, cnt = K.uniform_neg_sampling(ep, ptr, tgt, node_num=5,
+                                              neg_sample_scale=1.0,
+                                              replace=False)
+    assert p.shape == (3,)
+    for i, ind in enumerate(tgt):
+        seg = slice(p[i], p[i + 1])
+        pos = set(ep[ptr[ind]:ptr[ind + 1]].tolist())
+        for v, lab in zip(e[seg], label[seg]):
+            if lab == 1:
+                assert v in pos
+            else:
+                assert v not in pos  # negatives are true non-neighbors
+
+
+def test_sample_and_merge(chain_graph):
+    ep, ptr = chain_graph
+    K.set_seed(11)
+    node_ids = np.arange(5, dtype=np.int32) * 100
+    sel = np.array([1, 3], np.int32)
+    dst_ep, dst_ptr, merged, sel_pos = K.random_sel_neighbor_and_merge(
+        ep, ptr, node_ids, sel, num_neighbors=-1)
+    # merged contains selected + all neighbors, first-occurrence order
+    assert merged[sel_pos[0]] == 100 and merged[sel_pos[1]] == 300
+    # node 1 neighbors: 0, 2; node 3 neighbors: 2, 4
+    got_nbrs_1 = {int(merged[i]) for i in dst_ep[dst_ptr[0]:dst_ptr[1]]}
+    assert got_nbrs_1 == {0, 200}
+    got_nbrs_3 = {int(merged[i]) for i in dst_ep[dst_ptr[1]:dst_ptr[2]]}
+    assert got_nbrs_3 == {200, 400}
+
+
+@pytest.mark.skipif(not K.has_native(), reason="native ext not built")
+def test_fallback_contract_matches_native(chain_graph):
+    """NumPy fallbacks honour the same contracts (not the same RNG)."""
+    import stargcn_tpu.graph.kernels as km
+
+    ep, ptr = chain_graph
+    saved = km._native
+    try:
+        km._native = None
+        K.set_seed(3)
+        src, dst = km.random_walk(ep, ptr, 0, 100, 0.1, 5, 50)
+        for s, d in zip(src, dst):
+            assert d in ep[ptr[s]:ptr[s + 1]]
+        e, p, label, cnt = km.uniform_neg_sampling(
+            ep, ptr, np.array([2], np.int32), 5, 1.0, False)
+        pos = set(ep[ptr[2]:ptr[2 + 1]].tolist())
+        for v, lab in zip(e, label):
+            assert (v in pos) == (lab == 1)
+        de, dp, mi, sp = km.random_sel_neighbor_and_merge(
+            ep, ptr, np.arange(5, dtype=np.int32), np.array([1], np.int32),
+            -1)
+        assert {int(mi[i]) for i in de} == {0, 2}
+    finally:
+        km._native = saved
