@@ -7,12 +7,18 @@ TPU-era ``GraphSampler``).  ``EdgeSet``/``BipartiteGraphData`` are the
 TPU-native flat, static-shape device representation the models consume.
 """
 
-from stargcn_tpu.graph.csr import CSRMat, merge_node_ids_dict, merge_nodes
+from stargcn_tpu.graph.csr import (
+    CSRMat,
+    NodeFeatures,
+    merge_node_ids_dict,
+    merge_nodes,
+)
 from stargcn_tpu.graph.hetero import HeterGraph
 from stargcn_tpu.graph.device import BipartiteGraphData
 
 __all__ = [
     "CSRMat",
+    "NodeFeatures",
     "HeterGraph",
     "BipartiteGraphData",
     "merge_nodes",

@@ -85,6 +85,43 @@ def merge_node_ids_dict(node_ids_dicts):
     return uniq_dict, inv_dicts
 
 
+class NodeFeatures:
+    """Feature rows bound to explicit node ids with a lazy reverse map.
+
+    Reference: ``NodeFeatures`` (``mxgraph/graph.py:224-259``) — a device
+    feature tensor + node_ids + ``take_by_id``.  Here ``data`` may be a
+    NumPy or JAX array; ``take_by_id`` gathers rows by global id.
+    """
+
+    def __init__(self, data, node_ids):
+        self.data = data
+        self.node_ids = np.asarray(node_ids, dtype=np.int32)
+        assert self.data.shape[0] == self.node_ids.shape[0]
+        self._rmap = None
+
+    @property
+    def rmap(self):
+        if self._rmap is None:
+            self._rmap = NodeIDRMap(self.node_ids)
+        return self._rmap
+
+    def take_by_id(self, node_ids):
+        idx = self.rmap[node_ids]
+        assert np.all(np.asarray(idx) >= 0), "unknown node id"
+        try:
+            import jax.numpy as jnp
+
+            if isinstance(self.data, jnp.ndarray):
+                return jnp.take(self.data, jnp.asarray(idx), axis=0)
+        except ImportError:  # pragma: no cover
+            pass
+        return self.data[idx]
+
+    def __repr__(self):
+        return (f"NodeFeatures(num={self.node_ids.size}, "
+                f"dim={self.data.shape[1:]})")
+
+
 class CSRMat:
     """CSR matrix keyed by global row/col node ids with float edge values.
 

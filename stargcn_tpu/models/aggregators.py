@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from stargcn_tpu.models.common import get_activation, xavier_in
-from stargcn_tpu.ops.agg import multi_link_aggregate, multi_link_project
+from stargcn_tpu.ops.agg import (
+    multi_link_aggregate,
+    multi_link_project,
+    removed_edges_correction,
+    scaled_dense_aggregate,
+)
 
 
 class MultiLinkGCNAggregator(nn.Module):
@@ -51,7 +56,7 @@ class MultiLinkGCNAggregator(nn.Module):
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
                  num_dst, *, train: bool = False, dense_support=None,
-                 dense_transposed: bool = False):
+                 dense_transposed: bool = False, dense_static=None):
         if self.accum == "stack":
             assert self.units % self.num_links == 0, (
                 "units must be divisible by num_links for 'stack'")
@@ -69,11 +74,27 @@ class MultiLinkGCNAggregator(nn.Module):
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x_src)
         proj = multi_link_project(x, weight, bias,
                                   ordinal_sharing=self.ordinal_sharing)
-        out = multi_link_aggregate(
-            proj, edge_src, edge_dst, edge_rating, support, num_dst,
-            accum=self.accum, backend=self.backend,
-            dense_support=dense_support,
-            dense_transposed=dense_transposed)
+        if dense_static is not None:
+            # Static-adjacency MXU path: degree scalings folded around the
+            # matmul, per-batch edge removal as a small correction.
+            ds = dense_static
+            pooled = scaled_dense_aggregate(
+                proj, ds.adj, ds.dst_scale, ds.src_scale,
+                transposed=ds.transposed)
+            if ds.rem_src is not None:
+                pooled = pooled - removed_edges_correction(
+                    proj, ds.rem_src, ds.rem_dst, ds.rem_rating,
+                    ds.rem_weight, num_dst)
+            if self.accum == "stack":
+                out = pooled.reshape(num_dst, self.num_links * link_units)
+            else:
+                out = pooled.sum(axis=1)
+        else:
+            out = multi_link_aggregate(
+                proj, edge_src, edge_dst, edge_rating, support, num_dst,
+                accum=self.accum, backend=self.backend,
+                dense_support=dense_support,
+                dense_transposed=dense_transposed)
         return get_activation(self.act)(out)
 
 

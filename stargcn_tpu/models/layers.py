@@ -22,6 +22,28 @@ from stargcn_tpu.models.common import get_activation, xavier_in
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class DenseStatic:
+    """Static-adjacency MXU aggregation operands.
+
+    ``adj`` is the 0/1 per-rating adjacency of the graph VARIANT (never
+    rebuilt per step); per-step graph state enters only through the
+    degree-scale vectors and the optional removed-edge correction arrays
+    (see ``ops.agg.scaled_dense_aggregate``).
+    """
+
+    adj: jax.Array                      # (R, D, S) or (R, S, D) if transposed
+    dst_scale: jax.Array                # (num_dst,)
+    src_scale: jax.Array                # (num_src,)
+    rem_src: jax.Array | None = None    # (B,) removed-edge arrays
+    rem_dst: jax.Array | None = None
+    rem_rating: jax.Array | None = None
+    rem_weight: jax.Array | None = None
+    transposed: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Relation:
     """Directed edge arrays for one (target <- neighbor) relation.
 
@@ -35,13 +57,15 @@ class Relation:
     edge_rating: jax.Array
     support: jax.Array
     num_links: int = dataclasses.field(metadata=dict(static=True))
-    # Optional pre-built dense support tensor for the MXU backend:
+    # Optional pre-built dense support tensor for the naive MXU backend:
     # (R, num_dst, num_src), or (R, num_src, num_dst) when
     # ``dense_transposed`` (shared between both directions of a
     # symmetric-normalised bipartite graph).
     dense_support: jax.Array | None = None
     dense_transposed: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Static-adjacency fast path (preferred when available).
+    dense_static: DenseStatic | None = None
 
 
 class HeterGCNLayer(nn.Module):
@@ -99,7 +123,8 @@ class HeterGCNLayer(nn.Module):
                     rel.edge_rating, rel.support,
                     num_dst=features[t].shape[0], train=train,
                     dense_support=rel.dense_support,
-                    dense_transposed=rel.dense_transposed)))
+                    dense_transposed=rel.dense_transposed,
+                    dense_static=rel.dense_static)))
             if self.accum_self:
                 h = dropout(features[t])
                 h = nn.Dense(out_units[t], kernel_init=xavier_in,

@@ -100,7 +100,8 @@ class STARGCN(nn.Module):
     @nn.compact
     def __call__(self, graph: BipartiteGraphData, edge_mask, noise_user,
                  noise_item, pairs_user, pairs_item, user_features=None,
-                 item_features=None, *, train: bool = False):
+                 item_features=None, dense_adj=None, removed_pairs=None,
+                 *, train: bool = False):
         cfg = self.cfg
         act = get_activation(cfg.activation)
 
@@ -127,7 +128,14 @@ class STARGCN(nn.Module):
         # scatter — stop_gradient keeps the backward pass matmul-only).
         dense_u = dense_i = None
         dense_i_transposed = False
-        if cfg.backend == "dense":
+        static_u = static_i = None
+        if cfg.backend == "dense" and dense_adj is not None:
+            # Fast path: static per-variant adjacency (built once outside
+            # the step), scalings from the masked degrees, removal as a
+            # batch-sized correction.
+            static_u, static_i = _build_dense_static_operands(
+                cfg, graph, dense_adj, deg_u, deg_i, removed_pairs)
+        elif cfg.backend == "dense":
             from stargcn_tpu.ops.agg import build_dense_support
 
             dense_u = jax.lax.stop_gradient(build_dense_support(
@@ -144,12 +152,14 @@ class STARGCN(nn.Module):
             ("user", "item"): Relation(
                 edge_src=graph.edge_item, edge_dst=graph.edge_user,
                 edge_rating=graph.edge_rating, support=sup_u,
-                num_links=graph.num_links, dense_support=dense_u),
+                num_links=graph.num_links, dense_support=dense_u,
+                dense_static=static_u),
             ("item", "user"): Relation(
                 edge_src=graph.edge_user, edge_dst=graph.edge_item,
                 edge_rating=graph.edge_rating, support=sup_i,
                 num_links=graph.num_links, dense_support=dense_i,
-                dense_transposed=dense_i_transposed),
+                dense_transposed=dense_i_transposed,
+                dense_static=static_i),
         }
         meta = {"user": ["item"], "item": ["user"]}
 
@@ -263,6 +273,59 @@ class STARGCN(nn.Module):
             "pred_embed": pred_embed,
             "gt_embed": gt_embed,
         }
+
+
+def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
+                                 removed_pairs):
+    """Assemble ``DenseStatic`` operands for both aggregation directions.
+
+    ``dense_adj``: (R, Nu, Ni) 0/1 variant adjacency (dst = user
+    orientation); the item direction reuses it transposed.
+    """
+    from stargcn_tpu.models.layers import DenseStatic
+
+    if cfg.agg_norm_symm:
+        s_u = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)),
+                        0.0)
+        s_i = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)),
+                        0.0)
+        scales = {"user": (s_u, s_i), "item": (s_i, s_u)}
+    else:
+        inv_u = jnp.where(deg_u > 0, 1.0 / jnp.maximum(deg_u, 1e-12), 0.0)
+        inv_i = jnp.where(deg_i > 0, 1.0 / jnp.maximum(deg_i, 1e-12), 0.0)
+        ones_u = jnp.ones_like(deg_u)
+        ones_i = jnp.ones_like(deg_i)
+        scales = {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
+
+    rem = {"user": (None,) * 4, "item": (None,) * 4}
+    if removed_pairs is not None:
+        pu, pi, valid = removed_pairs
+        q = pu.astype(jnp.int32) * graph.num_items + pi.astype(jnp.int32)
+        pos = jnp.clip(jnp.searchsorted(graph.lookup_keys, q), 0,
+                       graph.lookup_keys.shape[0] - 1)
+        hit = ((graph.lookup_keys[pos] == q) & (valid > 0)).astype(
+            jnp.float32)
+        eidx = graph.lookup_perm[pos]
+        r = jnp.take(graph.edge_rating, eidx)
+        du_s, di_s = scales["user"]
+        wi_u = hit * jnp.take(du_s, pu) * jnp.take(di_s, pi)
+        di2_s, du2_s = scales["item"]
+        wi_i = hit * jnp.take(di2_s, pi) * jnp.take(du2_s, pu)
+        rem["user"] = (pi, pu, r, wi_u)
+        rem["item"] = (pu, pi, r, wi_i)
+
+    adj = jax.lax.stop_gradient(dense_adj)
+    static_u = DenseStatic(
+        adj=adj, dst_scale=scales["user"][0], src_scale=scales["user"][1],
+        rem_src=rem["user"][0], rem_dst=rem["user"][1],
+        rem_rating=rem["user"][2], rem_weight=rem["user"][3],
+        transposed=False)
+    static_i = DenseStatic(
+        adj=adj, dst_scale=scales["item"][0], src_scale=scales["item"][1],
+        rem_src=rem["item"][0], rem_dst=rem["item"][1],
+        rem_rating=rem["item"][2], rem_weight=rem["item"][3],
+        transposed=True)
+    return static_u, static_i
 
 
 def _masked_embed(embed: nn.Embed, noise, num_nodes: int):

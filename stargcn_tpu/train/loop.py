@@ -141,6 +141,19 @@ class Trainer:
             self.edge_masks = {
                 k: jax.device_put(v, self.shardings.edges)
                 for k, v in self.edge_masks.items()}
+        # Static per-variant dense adjacencies for the MXU backend — the
+        # one-time scatter that the naive path paid EVERY step.
+        self.dense_adj = None
+        if model_cfg.backend == "dense":
+            from stargcn_tpu.ops.agg import build_dense_adjacency
+
+            g = self.graph_data
+            build = jax.jit(lambda m: build_dense_adjacency(
+                g.edge_item, g.edge_user, g.edge_rating,
+                m * g.edge_pad_mask, g.num_links, g.num_users,
+                g.num_items))
+            self.dense_adj = {k: build(v)
+                              for k, v in self.edge_masks.items()}
 
         train_ratings = data_iter.train_ratings
         self.rating_mean = float(train_ratings.mean())
@@ -308,9 +321,12 @@ class Trainer:
             if self.shardings is not None:
                 pu, pi, gt, valid = self.shardings.place_batch(
                     pu, pi, gt, valid)
+            dense_adj = (self.dense_adj[
+                "valid" if segment == "valid" else "test"]
+                if self.dense_adj is not None else None)
             block_sq = self._eval_step(
                 self.params, jnp.asarray(pu), jnp.asarray(pi),
-                jnp.asarray(gt), jnp.asarray(valid), mask,
+                jnp.asarray(gt), jnp.asarray(valid), mask, dense_adj,
                 noise_u, noise_i)
             sq_sum += np.asarray(block_sq)
             cnt += n
@@ -372,11 +388,15 @@ class Trainer:
                     row[f"recon_loss{i}"] = \
                         avg["recon_loss"][i] / avg["batches"]
                 loggers["train"].log(**row)
+                dt = time.time() - t_start
+                edges_per_step = (nb * len(self.model_cfg.agg_units) * 2
+                                  * int(self.graph_data.num_edges_padded))
                 logging_str = (
                     f"Iter={iter_idx}, gnorm={avg['gnorm']/avg['batches']:.3f}, "
                     f"loss={float(stats['loss']):.3f}, "
                     + ", ".join(f"RMSE{i}={rmse[i]:.3f}" for i in range(nb))
-                    + f", {avg['cnt']/(time.time()-t_start):.0f} pairs/s")
+                    + f", {avg['cnt']/dt:.0f} pairs/s"
+                    + f", {avg['batches']*edges_per_step/dt/1e6:.1f} M edges/s")
                 avg = {"gnorm": 0.0, "sq": np.zeros(nb), "cnt": 0,
                        "rating_loss": np.zeros(nb),
                        "recon_loss": np.zeros(nb), "batches": 0}
@@ -492,15 +512,20 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
     fu, fi = trainer.features()
 
     edge_mask = trainer.edge_masks["train"]
+    removed_pairs = None
     if trainer.do_remove:
         edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i, pairs_valid,
                                            edge_mask)
+        removed_pairs = (pairs_u, pairs_i, pairs_valid)
+    dense_adj = (trainer.dense_adj["train"]
+                 if trainer.dense_adj is not None else None)
     n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
 
     def loss_fn(p):
         out = trainer.model.apply(
             {"params": p}, g, edge_mask, noise_u, noise_i,
             pairs_u, pairs_i, user_features=fu, item_features=fi,
+            dense_adj=dense_adj, removed_pairs=removed_pairs,
             train=True, rngs={"dropout": rng})
         target = (gt_ratings - mean) / std
         # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614);
@@ -538,12 +563,13 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
 
 
 def _eval_step(trainer, params, pairs_u, pairs_i, gt_ratings, valid,
-               edge_mask, noise_u, noise_i):
+               edge_mask, dense_adj, noise_u, noise_i):
     g = trainer.graph_data
     fu, fi = trainer.features()
     out = trainer.model.apply(
         {"params": params}, g, edge_mask, noise_u, noise_i,
-        pairs_u, pairs_i, user_features=fu, item_features=fi, train=False)
+        pairs_u, pairs_i, user_features=fu, item_features=fi,
+        dense_adj=dense_adj, train=False)
     denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
     clipped = jnp.clip(denorm, trainer.rating_min, trainer.rating_max)
     sq = (clipped - gt_ratings[None, :]) ** 2

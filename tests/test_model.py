@@ -133,6 +133,63 @@ def test_param_count_structure(small_setup):
     assert b0_out.shape == (12, 10)
 
 
+def test_dense_static_path_matches_xla(small_setup):
+    """Static-adjacency MXU path (incl. removed-pairs correction) must
+    reproduce the XLA gather/scatter numerics."""
+    import jax.numpy as jnp
+
+    from stargcn_tpu.ops.agg import build_dense_adjacency
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    cfg_d = STARGCNConfig(**{**cfg.__dict__, "backend": "dense"})
+    model_d = STARGCN(cfg_d)
+    adj = build_dense_adjacency(gd.edge_item, gd.edge_user, gd.edge_rating,
+                                gd.edge_pad_mask, gd.num_links,
+                                gd.num_users, gd.num_items)
+    # remove 4 real edges + 1 invalid slot
+    rem_u = jnp.asarray(np.asarray(gd.edge_user)[:4].tolist() + [0],
+                        jnp.int32)
+    rem_i = jnp.asarray(np.asarray(gd.edge_item)[:4].tolist() + [0],
+                        jnp.int32)
+    rem_v = jnp.asarray([1, 1, 1, 1, 0], jnp.float32)
+    mask_removed = gd.edge_mask_from_pairs(rem_u, rem_i, rem_v,
+                                           gd.edge_pad_mask)
+    want = model.apply({"params": params}, gd, mask_removed, nu, ni,
+                       pu, pi, train=False)
+    got = model_d.apply({"params": params}, gd, mask_removed, nu, ni,
+                        pu, pi, dense_adj=adj,
+                        removed_pairs=(rem_u, rem_i, rem_v), train=False)
+    np.testing.assert_allclose(got["pred_ratings"], want["pred_ratings"],
+                               rtol=2e-4, atol=2e-4)
+    # and without removal
+    want2 = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                        pu, pi, train=False)
+    got2 = model_d.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                         pu, pi, dense_adj=adj, train=False)
+    np.testing.assert_allclose(got2["pred_ratings"], want2["pred_ratings"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dense_static_asymmetric_support(small_setup):
+    import jax.numpy as jnp
+
+    from stargcn_tpu.ops.agg import build_dense_adjacency
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    cfg_a = STARGCNConfig(**{**cfg.__dict__, "agg_norm_symm": False})
+    cfg_ad = STARGCNConfig(**{**cfg_a.__dict__, "backend": "dense"})
+    m_x, m_d = STARGCN(cfg_a), STARGCN(cfg_ad)
+    adj = build_dense_adjacency(gd.edge_item, gd.edge_user, gd.edge_rating,
+                                gd.edge_pad_mask, gd.num_links,
+                                gd.num_users, gd.num_items)
+    want = m_x.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                     pu, pi, train=False)
+    got = m_d.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                    pu, pi, dense_adj=adj, train=False)
+    np.testing.assert_allclose(got["pred_ratings"], want["pred_ratings"],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dense_backend_matches_xla(small_setup):
     g, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
     out_xla = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
