@@ -94,6 +94,42 @@ def synthetic_graph(num_users=943, num_items=1682, num_edges=100_000,
         csr_mat_dict={("user", "movie"): csr})
 
 
+def write_ml1m_format(dirname, num_users=40, num_items=25, num_edges=900,
+                      seed=0):
+    """Write a tiny dataset in exact ml-1m file format (users.dat,
+    movies.dat, ratings.dat with '::' separators)."""
+    from stargcn_tpu.data.movielens import GENRES_ML_1M
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirname, exist_ok=True)
+    occupations = list(range(0, 5))
+    with open(os.path.join(dirname, "users.dat"), "w") as f:
+        for uid in range(1, num_users + 1):
+            f.write(f"{uid}::{'MF'[rng.randint(2)]}::{rng.randint(18, 60)}"
+                    f"::{occupations[rng.randint(5)]}::00000\n")
+    with open(os.path.join(dirname, "movies.dat"), "w") as f:
+        for mid in range(1, num_items + 1):
+            genres = "|".join(
+                rng.choice(GENRES_ML_1M, rng.randint(1, 3), replace=False))
+            year = rng.randint(1950, 2000)
+            f.write(f"{mid}::Movie {mid} ({year})::{genres}\n")
+    users, items, vals = synthetic_ratings(num_users, num_items, num_edges,
+                                           seed=seed)
+    users = np.concatenate([users, np.arange(num_users),
+                            rng.randint(0, num_users, num_items)])
+    items = np.concatenate([items, rng.randint(0, num_items, num_users),
+                            np.arange(num_items)])
+    vals = np.concatenate([vals, rng.choice([1, 2, 3, 4, 5],
+                                            num_users + num_items)])
+    keys = users.astype(np.int64) * num_items + items
+    _, first = np.unique(keys, return_index=True)
+    first = np.sort(first)
+    with open(os.path.join(dirname, "ratings.dat"), "w") as f:
+        for j in first:
+            f.write(f"{users[j] + 1}::{items[j] + 1}::{int(vals[j])}"
+                    "::978300760\n")
+
+
 def write_ml100k_format(dirname, num_users=50, num_items=30, num_edges=1200,
                         seed=0):
     """Write a tiny dataset in exact ml-100k file format (u.user, u.item,

@@ -89,8 +89,7 @@ def seg_sum(data: np.ndarray, indptr: np.ndarray) -> np.ndarray:
     indptr = np.ascontiguousarray(indptr, dtype=np.int32)
     if _native is not None:
         return _native.seg_sum(data, indptr)
-    return np.add.reduceat_like_segments(data, indptr) if False else \
-        _npy_seg_sum(data, indptr)
+    return _npy_seg_sum(data, indptr)
 
 
 def _npy_seg_sum(data, indptr):

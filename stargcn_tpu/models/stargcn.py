@@ -101,26 +101,46 @@ class STARGCN(nn.Module):
     def __call__(self, graph: BipartiteGraphData, edge_mask, noise_user,
                  noise_item, pairs_user, pairs_item, user_features=None,
                  item_features=None, dense_adj=None, removed_pairs=None,
-                 *, train: bool = False):
+                 variant_degrees=None, *, train: bool = False):
         cfg = self.cfg
         act = get_activation(cfg.activation)
 
-        # ---- support on the masked graph (reference recomputes support on
-        # every edge-removed graph: graph.py:414-429) ----
-        mask = edge_mask * graph.edge_pad_mask
-        deg_u, deg_i = masked_degrees(
-            graph.edge_user, graph.edge_item, mask,
-            graph.num_users, graph.num_items)
-        if cfg.agg_norm_symm:
-            sup = edge_support(deg_u, deg_i, graph.edge_user,
-                               graph.edge_item, mask, symm=True)
-            sup_u = sup_i = sup
+        use_static = cfg.backend == "dense" and dense_adj is not None
+        # ---- degrees / support of the step graph (reference recomputes
+        # support on every edge-removed graph: graph.py:414-429) ----
+        sup_u = sup_i = None
+        if use_static and variant_degrees is not None:
+            # Static variant degrees corrected for removed batch edges —
+            # no O(E) scatter in the step at all.
+            deg_u, deg_i = variant_degrees
+            if removed_pairs is not None:
+                pu, pi, valid = removed_pairs
+                q = (pu.astype(jnp.int32) * graph.num_items
+                     + pi.astype(jnp.int32))
+                pos = jnp.clip(jnp.searchsorted(graph.lookup_keys, q), 0,
+                               graph.lookup_keys.shape[0] - 1)
+                hit = ((graph.lookup_keys[pos] == q)
+                       & (valid > 0)).astype(jnp.float32)
+                deg_u = deg_u - jax.ops.segment_sum(
+                    hit, pu, num_segments=graph.num_users)
+                deg_i = deg_i - jax.ops.segment_sum(
+                    hit, pi, num_segments=graph.num_items)
         else:
-            # target user <- movie: support rows are users (1/d_user)
-            sup_u = edge_support(deg_u, deg_i, graph.edge_user,
-                                 graph.edge_item, mask, symm=False)
-            sup_i = edge_support(deg_i, deg_u, graph.edge_item,
-                                 graph.edge_user, mask, symm=False)
+            mask = edge_mask * graph.edge_pad_mask
+            deg_u, deg_i = masked_degrees(
+                graph.edge_user, graph.edge_item, mask,
+                graph.num_users, graph.num_items)
+        if not use_static:
+            if cfg.agg_norm_symm:
+                sup = edge_support(deg_u, deg_i, graph.edge_user,
+                                   graph.edge_item, mask, symm=True)
+                sup_u = sup_i = sup
+            else:
+                # target user <- movie: support rows are users (1/d_user)
+                sup_u = edge_support(deg_u, deg_i, graph.edge_user,
+                                     graph.edge_item, mask, symm=False)
+                sup_i = edge_support(deg_i, deg_u, graph.edge_item,
+                                     graph.edge_user, mask, symm=False)
         # For the MXU backend, scatter the per-edge support into a dense
         # (R, Nu, Ni) tensor ONCE per step; both aggregation directions and
         # every block then run as pure batched matmuls (the support has no
@@ -129,7 +149,7 @@ class STARGCN(nn.Module):
         dense_u = dense_i = None
         dense_i_transposed = False
         static_u = static_i = None
-        if cfg.backend == "dense" and dense_adj is not None:
+        if use_static:
             # Fast path: static per-variant adjacency (built once outside
             # the step), scalings from the masked degrees, removal as a
             # batch-sized correction.

@@ -177,7 +177,7 @@ def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
 # --------------------------- transpose SpMM ------------------------------
 
 
-def _spmm_t_kernel(idx_ref, g_ref, out_ref, *, block_s, num_src):
+def _spmm_t_kernel(idx_ref, g_ref, out_ref, *, block_s):
     """out[s, f] += sum_{(i,k): idx[i,k]==s} g[i, k, f] — via onehot^T."""
     d = pl.program_id(2)
 
@@ -227,8 +227,7 @@ def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
 
     grid = (S_p // block_s, F_p // block_f, D_p // block_d)
     out = pl.pallas_call(
-        functools.partial(_spmm_t_kernel, block_s=block_s,
-                          num_src=num_src),
+        functools.partial(_spmm_t_kernel, block_s=block_s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_d, K), lambda s, f, d: (d, 0)),

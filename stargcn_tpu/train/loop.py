@@ -141,9 +141,10 @@ class Trainer:
             self.edge_masks = {
                 k: jax.device_put(v, self.shardings.edges)
                 for k, v in self.edge_masks.items()}
-        # Static per-variant dense adjacencies for the MXU backend — the
-        # one-time scatter that the naive path paid EVERY step.
+        # Static per-variant dense adjacencies + degree vectors for the
+        # MXU backend — the O(E) scatters the naive path paid EVERY step.
         self.dense_adj = None
+        self.variant_degrees = None
         if model_cfg.backend == "dense":
             from stargcn_tpu.ops.agg import build_dense_adjacency
 
@@ -154,6 +155,18 @@ class Trainer:
                 g.num_items))
             self.dense_adj = {k: build(v)
                               for k, v in self.edge_masks.items()}
+            eu = np.asarray(self.graph_data.edge_user)
+            ei = np.asarray(self.graph_data.edge_item)
+            pad = np.asarray(self.graph_data.edge_pad_mask)
+            self.variant_degrees = {}
+            for k, m in self.edge_masks.items():
+                mm = np.asarray(m) * pad
+                du = np.zeros(model_cfg.num_users, np.float32)
+                di = np.zeros(model_cfg.num_items, np.float32)
+                np.add.at(du, eu, mm)
+                np.add.at(di, ei, mm)
+                self.variant_degrees[k] = (jnp.asarray(du),
+                                           jnp.asarray(di))
 
         train_ratings = data_iter.train_ratings
         self.rating_mean = float(train_ratings.mean())
@@ -321,13 +334,15 @@ class Trainer:
             if self.shardings is not None:
                 pu, pi, gt, valid = self.shardings.place_batch(
                     pu, pi, gt, valid)
-            dense_adj = (self.dense_adj[
-                "valid" if segment == "valid" else "test"]
-                if self.dense_adj is not None else None)
+            seg_key = "valid" if segment == "valid" else "test"
+            dense_adj = (self.dense_adj[seg_key]
+                         if self.dense_adj is not None else None)
+            variant_degrees = (self.variant_degrees[seg_key]
+                               if self.variant_degrees is not None else None)
             block_sq = self._eval_step(
                 self.params, jnp.asarray(pu), jnp.asarray(pi),
                 jnp.asarray(gt), jnp.asarray(valid), mask, dense_adj,
-                noise_u, noise_i)
+                variant_degrees, noise_u, noise_i)
             sq_sum += np.asarray(block_sq)
             cnt += n
         return np.sqrt(sq_sum / max(cnt, 1))
@@ -512,13 +527,17 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
     fu, fi = trainer.features()
 
     edge_mask = trainer.edge_masks["train"]
-    removed_pairs = None
-    if trainer.do_remove:
-        edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i, pairs_valid,
-                                           edge_mask)
-        removed_pairs = (pairs_u, pairs_i, pairs_valid)
     dense_adj = (trainer.dense_adj["train"]
                  if trainer.dense_adj is not None else None)
+    variant_degrees = (trainer.variant_degrees["train"]
+                       if trainer.variant_degrees is not None else None)
+    removed_pairs = None
+    if trainer.do_remove:
+        removed_pairs = (pairs_u, pairs_i, pairs_valid)
+        if dense_adj is None:
+            # XLA path: removal via the per-edge mask.
+            edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i,
+                                               pairs_valid, edge_mask)
     n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
 
     def loss_fn(p):
@@ -526,6 +545,7 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
             {"params": p}, g, edge_mask, noise_u, noise_i,
             pairs_u, pairs_i, user_features=fu, item_features=fi,
             dense_adj=dense_adj, removed_pairs=removed_pairs,
+            variant_degrees=variant_degrees,
             train=True, rngs={"dropout": rng})
         target = (gt_ratings - mean) / std
         # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614);
@@ -563,13 +583,13 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
 
 
 def _eval_step(trainer, params, pairs_u, pairs_i, gt_ratings, valid,
-               edge_mask, dense_adj, noise_u, noise_i):
+               edge_mask, dense_adj, variant_degrees, noise_u, noise_i):
     g = trainer.graph_data
     fu, fi = trainer.features()
     out = trainer.model.apply(
         {"params": params}, g, edge_mask, noise_u, noise_i,
         pairs_u, pairs_i, user_features=fu, item_features=fi,
-        dense_adj=dense_adj, train=False)
+        dense_adj=dense_adj, variant_degrees=variant_degrees, train=False)
     denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
     clipped = jnp.clip(denorm, trainer.rating_min, trainer.rating_max)
     sq = (clipped - gt_ratings[None, :]) ** 2

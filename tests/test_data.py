@@ -60,6 +60,21 @@ def test_load_data_inductive(tiny_ml100k):
         assert csr.col_degrees[node] > 10
 
 
+def test_load_data_ml1m_format(tmp_path):
+    from stargcn_tpu.data.synthetic import write_ml1m_format
+
+    write_ml1m_format(str(tmp_path / "ml-1m"))
+    data = LoadData("ml-1m", root=str(tmp_path), seed=7, test_ratio=0.2,
+                    val_ratio=0.1)
+    g = data.graph
+    g.check_continous_node_ids()
+    # ml-1m movie features: 300 title + 1 year + 18 genres
+    assert data.item_features.shape[1] == 300 + 1 + 18
+    vp, vv = data.valid_data
+    np.testing.assert_array_equal(
+        g.fetch_edges_by_id("user", "movie", vp), vv)
+
+
 def test_data_iterator_transductive(rng):
     g = synthetic_graph(num_users=30, num_items=40, num_edges=400, seed=1)
     csr = g["user", "movie"]

@@ -161,6 +161,23 @@ def test_dense_static_path_matches_xla(small_setup):
                         removed_pairs=(rem_u, rem_i, rem_v), train=False)
     np.testing.assert_allclose(got["pred_ratings"], want["pred_ratings"],
                                rtol=2e-4, atol=2e-4)
+    # and with STATIC variant degrees + in-step correction (the
+    # zero-O(E)-scatter training path)
+    eu = np.asarray(gd.edge_user)
+    ei = np.asarray(gd.edge_item)
+    pm = np.asarray(gd.edge_pad_mask)
+    du = np.zeros(gd.num_users, np.float32)
+    di = np.zeros(gd.num_items, np.float32)
+    np.add.at(du, eu, pm)
+    np.add.at(di, ei, pm)
+    got_s = model_d.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                          pu, pi, dense_adj=adj,
+                          removed_pairs=(rem_u, rem_i, rem_v),
+                          variant_degrees=(jnp.asarray(du),
+                                           jnp.asarray(di)),
+                          train=False)
+    np.testing.assert_allclose(got_s["pred_ratings"], want["pred_ratings"],
+                               rtol=2e-4, atol=2e-4)
     # and without removal
     want2 = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
                         pu, pi, train=False)
