@@ -347,6 +347,64 @@ class Trainer:
             cnt += n
         return np.sqrt(sq_sum / max(cnt, 1))
 
+    def predict(self, pairs_user, pairs_item, segment: str = "test"):
+        """Denormalised, range-clipped rating predictions (last block)
+        for arbitrary (user, item) pairs — the serving entry point.
+
+        Uses the given graph variant's adjacency and the eval noise
+        masking (cold-start nodes -> zero embedding, as in evaluation).
+        """
+        it = self.data_iter
+        pairs_user = np.asarray(pairs_user, np.int32)
+        pairs_item = np.asarray(pairs_item, np.int32)
+        n = pairs_user.size
+        dp = 1 if self.mesh is None else self.mesh.shape["data"]
+        B = min(self.s.rating_batch_size, max(1, n))
+        B = -(-B // dp) * dp
+        noise_u = jnp.asarray(it.evaluate_embed_noise_dict["user"])
+        noise_i = jnp.asarray(it.evaluate_embed_noise_dict["movie"])
+        if self.shardings is not None:
+            noise_u, noise_i = self.shardings.place_replicated(
+                noise_u, noise_i)
+        seg_key = "valid" if segment == "valid" else "test"
+        mask = self.edge_masks[seg_key]
+        dense_adj = (self.dense_adj[seg_key]
+                     if self.dense_adj is not None else None)
+        variant_degrees = (self.variant_degrees[seg_key]
+                           if self.variant_degrees is not None else None)
+        out = np.zeros(n, np.float32)
+        for start in range(0, n, B):
+            end = min(start + B, n)
+            pu = np.zeros(B, np.int32)
+            pi = np.zeros(B, np.int32)
+            pu[:end - start] = pairs_user[start:end]
+            pi[:end - start] = pairs_item[start:end]
+            if self.shardings is not None:
+                pu, pi = self.shardings.place_batch(pu, pi)
+            preds = self._predict_step(
+                self.params, jnp.asarray(pu), jnp.asarray(pi), mask,
+                dense_adj, variant_degrees, noise_u, noise_i)
+            out[start:end] = np.asarray(preds)[:end - start]
+        return out
+
+    @property
+    def _predict_step(self):
+        if not hasattr(self, "_predict_step_fn"):
+            def step(params, pu, pi, mask, dense_adj, variant_degrees,
+                     noise_u, noise_i):
+                fu, fi = self.features()
+                out = self.model.apply(
+                    {"params": params}, self.graph_data, mask, noise_u,
+                    noise_i, pu, pi, user_features=fu, item_features=fi,
+                    dense_adj=dense_adj, variant_degrees=variant_degrees,
+                    train=False)
+                denorm = (out["pred_ratings"][-1] * self.rating_std
+                          + self.rating_mean)
+                return jnp.clip(denorm, self.rating_min, self.rating_max)
+
+            self._predict_step_fn = jax.jit(step)
+        return self._predict_step_fn
+
     # ------------------------------- fit ------------------------------------
 
     def fit(self, max_iter: Optional[int] = None, log=logging.info):
@@ -365,12 +423,13 @@ class Trainer:
         best_iter = -1
         no_better = 0
         nb = self.model_cfg.nblocks
-        avg = {"gnorm": 0.0,
-               "sq": np.zeros(nb), "cnt": 0,
-               "rating_loss": np.zeros(nb), "recon_loss": np.zeros(nb),
-               "batches": 0}
         t_start = time.time()
         stop = False
+        # Stats stay on device between log intervals: one host sync per
+        # interval instead of per step (the reference pays a device->host
+        # round trip every iteration, ``STAR-GCN.py:641-660``).
+        pending = []
+        pending_cnt = 0
         for iter_idx in range(1, max_iter + 1):
             pairs, gt_ratings = next(rating_sampler)
             if s.use_dae:
@@ -384,16 +443,36 @@ class Trainer:
                                np.zeros(self.model_cfg.num_users, np.float32),
                                np.zeros(self.model_cfg.num_items, np.float32))
             stats = self.train_iteration((pairs, gt_ratings), recon_batch)
-            stats = jax.device_get(stats)
-            avg["gnorm"] += float(stats["gnorm"])
-            avg["sq"] += np.asarray(stats["sq_err"])
-            avg["cnt"] += gt_ratings.size
-            avg["rating_loss"] += np.asarray(stats["rating_loss"])
-            avg["recon_loss"] += np.asarray(stats["recon_loss"])
-            avg["batches"] += 1
+            pending.append(stats)
+            pending_cnt += gt_ratings.size
 
             logging_str = ""
             if iter_idx % s.log_interval == 0:
+                fetched = jax.device_get(pending)
+                stats = fetched[-1]
+                avg = {
+                    "gnorm": sum(float(f["gnorm"]) for f in fetched),
+                    "sq": sum(np.asarray(f["sq_err"]) for f in fetched),
+                    "cnt": pending_cnt,
+                    "rating_loss": sum(np.asarray(f["rating_loss"])
+                                       for f in fetched),
+                    "recon_loss": sum(np.asarray(f["recon_loss"])
+                                      for f in fetched),
+                    "batches": len(fetched),
+                }
+                pending, pending_cnt = [], 0
+                if not np.isfinite(float(stats["loss"])):
+                    # NaN watchdog (framework addition): restore the best
+                    # checkpoint if any, halve the LR, keep going.
+                    log(f"Non-finite loss at iter {iter_idx}; "
+                        "restoring best checkpoint and halving LR.")
+                    ckpt = (os.path.join(
+                        self.save_dir, f"ckpt_best_{self.save_id}.msgpack")
+                        if self.save_dir else None)
+                    if ckpt and os.path.exists(ckpt):
+                        self.restore_checkpoint(ckpt)
+                    self.set_lr(max(self.lr * 0.5, s.min_lr))
+                    continue
                 rmse = np.sqrt(avg["sq"] / max(avg["cnt"], 1))
                 row = {"iter": iter_idx, "loss": float(stats["loss"])}
                 for i in range(nb):
@@ -412,9 +491,6 @@ class Trainer:
                     + ", ".join(f"RMSE{i}={rmse[i]:.3f}" for i in range(nb))
                     + f", {avg['cnt']/dt:.0f} pairs/s"
                     + f", {avg['batches']*edges_per_step/dt/1e6:.1f} M edges/s")
-                avg = {"gnorm": 0.0, "sq": np.zeros(nb), "cnt": 0,
-                       "rating_loss": np.zeros(nb),
-                       "recon_loss": np.zeros(nb), "batches": 0}
                 t_start = time.time()
 
             if iter_idx % s.valid_interval == 0:

@@ -108,6 +108,31 @@ def test_no_dae_single_block():
     assert np.isfinite(result["best_valid_rmse"])
 
 
+def test_nan_watchdog_recovers(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    trainer, _ = make_trainer(tmp_dir=str(tmp_path))
+    trainer.fit(max_iter=10)  # writes a best checkpoint
+    # poison the params -> next losses are NaN
+    trainer.params = jax.tree.map(lambda x: x * jnp.nan, trainer.params)
+    result = trainer.fit(max_iter=20)
+    # watchdog restored the checkpoint and training continued finitely
+    assert np.isfinite(result["best_valid_rmse"])
+    flat = jax.tree.leaves(trainer.params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_predict_api():
+    trainer, _ = make_trainer()
+    trainer.fit(max_iter=10)
+    pairs = trainer.data_iter.test_graph["user", "movie"].node_pair_ids
+    preds = trainer.predict(pairs[0][:70], pairs[1][:70])
+    assert preds.shape == (70,)
+    assert np.all(preds >= trainer.rating_min - 1e-6)
+    assert np.all(preds <= trainer.rating_max + 1e-6)
+
+
 def test_lr_decay_logic():
     trainer, _ = make_trainer()
     lr0 = trainer.lr
