@@ -145,7 +145,8 @@ def test_dense_static_path_matches_xla(small_setup):
     model_d = STARGCN(cfg_d)
     adj = build_dense_adjacency(gd.edge_item, gd.edge_user, gd.edge_rating,
                                 gd.edge_pad_mask, gd.num_links,
-                                gd.num_users, gd.num_items)
+                                gd.num_users, gd.num_items,
+                                dtype=jnp.float32)
     # remove 4 real edges + 1 invalid slot
     rem_u = jnp.asarray(np.asarray(gd.edge_user)[:4].tolist() + [0],
                         jnp.int32)
@@ -187,6 +188,26 @@ def test_dense_static_path_matches_xla(small_setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dense_static_bf16_adjacency_close(small_setup):
+    """bf16 adjacency (the TPU default) stays within mixed-precision
+    tolerance of the f32 path."""
+    from stargcn_tpu.ops.agg import build_dense_adjacency
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    cfg_d = STARGCNConfig(**{**cfg.__dict__, "backend": "dense"})
+    model_d = STARGCN(cfg_d)
+    adj16 = build_dense_adjacency(gd.edge_item, gd.edge_user,
+                                  gd.edge_rating, gd.edge_pad_mask,
+                                  gd.num_links, gd.num_users, gd.num_items)
+    assert adj16.dtype == jnp.bfloat16
+    want = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                       pu, pi, train=False)
+    got = model_d.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                        pu, pi, dense_adj=adj16, train=False)
+    np.testing.assert_allclose(got["pred_ratings"], want["pred_ratings"],
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_dense_static_asymmetric_support(small_setup):
     import jax.numpy as jnp
 
@@ -198,7 +219,8 @@ def test_dense_static_asymmetric_support(small_setup):
     m_x, m_d = STARGCN(cfg_a), STARGCN(cfg_ad)
     adj = build_dense_adjacency(gd.edge_item, gd.edge_user, gd.edge_rating,
                                 gd.edge_pad_mask, gd.num_links,
-                                gd.num_users, gd.num_items)
+                                gd.num_users, gd.num_items,
+                                dtype=jnp.float32)
     want = m_x.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
                      pu, pi, train=False)
     got = m_d.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
