@@ -36,9 +36,21 @@ def main():
     parser.add_argument("--max_iter", default=None, type=int)
     parser.add_argument("--platform", default=None, type=str,
                         help="force a JAX platform (e.g. cpu)")
+    parser.add_argument("--backend", default=None, type=str,
+                        help="aggregation kernel backend: "
+                             "auto | xla | dense")
+    parser.add_argument("--mesh", default=None, type=str,
+                        help="device mesh as DATAxMODEL, e.g. 2x4")
     args = parser.parse_args()
 
     if args.platform:
+        if args.platform == "cpu" and args.mesh:
+            d, m = (int(x) for x in args.mesh.lower().split("x"))
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_force_host_platform_device_count={d * m}"
+                ).strip()
         import jax
         jax.config.update("jax_platforms", args.platform)
 
@@ -61,6 +73,12 @@ def main():
         cfg.SEED = args.seed
     if args.max_iter is not None:
         cfg.TRAIN.MAX_ITER = args.max_iter
+    if args.backend is not None:
+        cfg.KERNEL.BACKEND = args.backend
+    if args.mesh is not None:
+        d, m = (int(x) for x in args.mesh.lower().split("x"))
+        cfg.PARALLEL.DATA_AXIS = d
+        cfg.PARALLEL.MODEL_AXIS = m
 
     save_dir = args.save_dir
     if save_dir is None and args.cfg_file is not None:
@@ -135,9 +153,15 @@ def main():
     model_cfg = build_model_config(
         cfg, num_users=csr.shape[0], num_items=csr.shape[1],
         num_links=len(csr.multi_link))
+    mesh = None
+    if cfg.PARALLEL.DATA_AXIS * cfg.PARALLEL.MODEL_AXIS > 1:
+        from stargcn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=cfg.PARALLEL.DATA_AXIS,
+                         model=cfg.PARALLEL.MODEL_AXIS)
     trainer = Trainer(model_cfg, data_iter,
                       TrainSettings.from_cfg(cfg),
-                      save_dir=save_dir, save_id=save_id)
+                      save_dir=save_dir, save_id=save_id, mesh=mesh)
     result = trainer.fit()
     logging.info("result: %s", result)
     return result
