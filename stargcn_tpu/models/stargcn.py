@@ -106,14 +106,15 @@ class STARGCN(nn.Module):
         act = get_activation(cfg.activation)
 
         use_static = cfg.backend == "dense" and dense_adj is not None
-        # ---- degrees / support of the step graph (reference recomputes
-        # support on every edge-removed graph: graph.py:414-429) ----
-        sup_u = sup_i = None
-        if use_static and variant_degrees is not None:
-            # Static variant degrees corrected for removed batch edges —
-            # no O(E) scatter in the step at all.
-            deg_u, deg_i = variant_degrees
-            if removed_pairs is not None:
+        # Normalise removed_pairs: (pu, pi, valid) triggers an in-jit
+        # binary-search edge lookup; (pu, pi, hit, rating) carries the
+        # lookup result computed on the host (cheaper — the searchsorted
+        # chain is sequential and slow on TPU).
+        removed_info = None
+        if removed_pairs is not None:
+            if len(removed_pairs) == 4:
+                removed_info = removed_pairs
+            else:
                 pu, pi, valid = removed_pairs
                 q = (pu.astype(jnp.int32) * graph.num_items
                      + pi.astype(jnp.int32))
@@ -121,6 +122,18 @@ class STARGCN(nn.Module):
                                graph.lookup_keys.shape[0] - 1)
                 hit = ((graph.lookup_keys[pos] == q)
                        & (valid > 0)).astype(jnp.float32)
+                rating = jnp.take(graph.edge_rating,
+                                  graph.lookup_perm[pos])
+                removed_info = (pu, pi, hit, rating)
+        # ---- degrees / support of the step graph (reference recomputes
+        # support on every edge-removed graph: graph.py:414-429) ----
+        sup_u = sup_i = None
+        if use_static and variant_degrees is not None:
+            # Static variant degrees corrected for removed batch edges —
+            # no O(E) scatter in the step at all.
+            deg_u, deg_i = variant_degrees
+            if removed_info is not None:
+                pu, pi, hit, _ = removed_info
                 deg_u = deg_u - jax.ops.segment_sum(
                     hit, pu, num_segments=graph.num_users)
                 deg_i = deg_i - jax.ops.segment_sum(
@@ -154,7 +167,7 @@ class STARGCN(nn.Module):
             # the step), scalings from the masked degrees, removal as a
             # batch-sized correction.
             static_u, static_i = _build_dense_static_operands(
-                cfg, graph, dense_adj, deg_u, deg_i, removed_pairs)
+                cfg, graph, dense_adj, deg_u, deg_i, removed_info)
         elif cfg.backend == "dense":
             from stargcn_tpu.ops.agg import build_dense_support
 
@@ -296,11 +309,13 @@ class STARGCN(nn.Module):
 
 
 def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
-                                 removed_pairs):
+                                 removed_info):
     """Assemble ``DenseStatic`` operands for both aggregation directions.
 
     ``dense_adj``: (R, Nu, Ni) 0/1 variant adjacency (dst = user
     orientation); the item direction reuses it transposed.
+    ``removed_info``: optional ``(pu, pi, hit, rating)`` removed-edge
+    arrays (hit = 1 for real removed edges).
     """
     from stargcn_tpu.models.layers import DenseStatic
 
@@ -318,15 +333,8 @@ def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
         scales = {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
 
     rem = {"user": (None,) * 4, "item": (None,) * 4}
-    if removed_pairs is not None:
-        pu, pi, valid = removed_pairs
-        q = pu.astype(jnp.int32) * graph.num_items + pi.astype(jnp.int32)
-        pos = jnp.clip(jnp.searchsorted(graph.lookup_keys, q), 0,
-                       graph.lookup_keys.shape[0] - 1)
-        hit = ((graph.lookup_keys[pos] == q) & (valid > 0)).astype(
-            jnp.float32)
-        eidx = graph.lookup_perm[pos]
-        r = jnp.take(graph.edge_rating, eidx)
+    if removed_info is not None:
+        pu, pi, hit, r = removed_info
         du_s, di_s = scales["user"]
         wi_u = hit * jnp.take(du_s, pu) * jnp.take(di_s, pi)
         di2_s, du2_s = scales["item"]

@@ -184,6 +184,16 @@ class Trainer:
         dp = 1 if mesh is None else mesh.shape["data"]
         self.train_batch_padded = -(-self.train_batch // dp) * dp
 
+        # Host-side pair->edge lookup tables (the in-jit searchsorted
+        # chain is sequential and slow on TPU; numpy does it off the
+        # critical path while the device runs the previous step).
+        keys = (all_csr.row_indices.astype(np.int64) * all_csr.shape[1]
+                + all_csr.end_points)
+        order = np.argsort(keys, kind="stable")
+        self._lookup_keys_np = keys[order]
+        self._lookup_rating_np = np.searchsorted(
+            all_csr.multi_link, all_csr.values).astype(np.int32)[order]
+
         self._rng_key = jax.random.PRNGKey(self.s.seed)
         self.params = self._init_params()
         self.opt = self._make_optimizer()
@@ -265,29 +275,47 @@ class Trainer:
                                     jnp.asarray(g.features["movie"]))
         return self._features_cache
 
+    def host_edge_lookup(self, pu, pi, valid):
+        """(hit, rating) for batch pairs — numpy, off the device path."""
+        q = pu.astype(np.int64) * self.model_cfg.num_items + pi
+        pos = np.searchsorted(self._lookup_keys_np, q)
+        pos = np.clip(pos, 0, max(self._lookup_keys_np.size - 1, 0))
+        hit = ((self._lookup_keys_np[pos] == q) & (valid > 0)).astype(
+            np.float32)
+        rating = self._lookup_rating_np[pos]
+        return hit, rating
+
     def train_iteration(self, rating_batch, recon_batch):
-        """One optimisation step.  Returns host-side stats dict."""
+        """One optimisation step.  Returns device-side stats dict."""
         (pairs, gt_ratings) = rating_batch
         noise_u, noise_i, recon_mask_u, recon_mask_i = recon_batch
         self._rng_key, step_key = jax.random.split(self._rng_key)
         B = self.train_batch_padded
         n = gt_ratings.size
-        pu = np.zeros(B, np.int32)
-        pi = np.zeros(B, np.int32)
-        gt = np.zeros(B, np.float32)
-        valid = np.zeros(B, np.float32)
-        pu[:n], pi[:n], gt[:n], valid[:n] = pairs[0], pairs[1], gt_ratings, 1.0
+        # Bundled transfers: one int32 and one float32 batch array, one
+        # int32 noise array, one float32 recon-mask array (device->host
+        # relay latency is per-transfer).
+        ints = np.zeros((3, B), np.int32)
+        flts = np.zeros((3, B), np.float32)
+        ints[0, :n], ints[1, :n] = pairs[0], pairs[1]
+        flts[0, :n], flts[1, :n] = gt_ratings, 1.0
+        hit, rating = self.host_edge_lookup(ints[0], ints[1], flts[1])
+        ints[2], flts[2] = rating, hit
+        noise = np.concatenate([noise_u, noise_i]).astype(np.int32)
+        rmask = np.concatenate([recon_mask_u, recon_mask_i]).astype(
+            np.float32)
+        ints_d, flts_d = jnp.asarray(ints), jnp.asarray(flts)
+        noise_d, rmask_d = jnp.asarray(noise), jnp.asarray(rmask)
         if self.shardings is not None:
-            pu, pi, gt, valid = self.shardings.place_batch(pu, pi, gt, valid)
-            noise_u, noise_i, recon_mask_u, recon_mask_i = \
-                self.shardings.place_replicated(
-                    noise_u, noise_i, recon_mask_u, recon_mask_i)
+            # shard the batch axis (axis 1) over 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsharding = NamedSharding(self.mesh, P(None, "data"))
+            ints_d = jax.device_put(ints, bsharding)
+            flts_d = jax.device_put(flts, bsharding)
+            noise_d, rmask_d = self.shardings.place_replicated(noise, rmask)
         self.params, self.opt_state, stats = self._train_step(
-            self.params, self.opt_state,
-            jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(gt),
-            jnp.asarray(valid),
-            jnp.asarray(noise_u), jnp.asarray(noise_i),
-            jnp.asarray(recon_mask_u), jnp.asarray(recon_mask_i),
+            self.params, self.opt_state, ints_d, flts_d, noise_d, rmask_d,
             step_key)
         return stats
 
@@ -593,14 +621,19 @@ class Trainer:
 # ------------------------- jitted step functions -----------------------------
 
 
-def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
-                pairs_valid, noise_u, noise_i, recon_mask_u, recon_mask_i,
-                rng):
+def _train_step(trainer, params, opt_state, ints, flts, noise, rmask, rng):
     cfg = trainer.model_cfg
     s = trainer.s
     g = trainer.graph_data
     mean, std = trainer.rating_mean, trainer.rating_std
     fu, fi = trainer.features()
+
+    pairs_u, pairs_i, rem_rating = ints[0], ints[1], ints[2]
+    gt_ratings, pairs_valid, rem_hit = flts[0], flts[1], flts[2]
+    noise_u = noise[:cfg.num_users]
+    noise_i = noise[cfg.num_users:]
+    recon_mask_u = rmask[:cfg.num_users]
+    recon_mask_i = rmask[cfg.num_users:]
 
     edge_mask = trainer.edge_masks["train"]
     dense_adj = (trainer.dense_adj["train"]
@@ -609,11 +642,11 @@ def _train_step(trainer, params, opt_state, pairs_u, pairs_i, gt_ratings,
                        if trainer.variant_degrees is not None else None)
     removed_pairs = None
     if trainer.do_remove:
-        removed_pairs = (pairs_u, pairs_i, pairs_valid)
+        removed_pairs = (pairs_u, pairs_i, rem_hit, rem_rating)
         if dense_adj is None:
             # XLA path: removal via the per-edge mask.
             edge_mask = g.edge_mask_from_pairs(pairs_u, pairs_i,
-                                               pairs_valid, edge_mask)
+                                               rem_hit, edge_mask)
     n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
 
     def loss_fn(p):
