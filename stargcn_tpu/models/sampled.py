@@ -94,32 +94,29 @@ def _masked_embed_rows(table, ids, noise):
 
 
 def _ell_aggregate(proj, block, accum, use_pallas):
-    """Pool per-rating projections over an ELL block."""
+    """Pool per-rating projections over an ELL block.
+
+    'sum' is one fused gather-pool; 'stack' gathers once and splits the
+    per-slot messages across rating channels with a one-hot contraction
+    (no per-rating re-gather).
+    """
     R, n_src, units = proj.shape
     flat = proj.reshape(R * n_src, units)
     idx = block.rating * n_src + block.nbr_pos
-    if use_pallas:
-        from stargcn_tpu.ops.pallas_kernels import ell_spmm
-
-        pooled_flat = ell_spmm(flat, idx, block.weight, False)
-    else:
-        pooled_flat = (jnp.take(flat, idx, axis=0)
-                       * block.weight[:, :, None]).sum(axis=1)
     if accum == "sum":
-        return pooled_flat
-    # 'stack': per-rating contributions concatenated — recompute per
-    # rating with masked weights.
-    outs = []
-    for r in range(R):
-        w_r = jnp.where(block.rating == r, block.weight, 0.0)
         if use_pallas:
             from stargcn_tpu.ops.pallas_kernels import ell_spmm
 
-            outs.append(ell_spmm(flat, idx, w_r, False))
-        else:
-            outs.append((jnp.take(flat, idx, axis=0)
-                         * w_r[:, :, None]).sum(axis=1))
-    return jnp.concatenate(outs, axis=-1)
+            return ell_spmm(flat, idx, block.weight, False)
+        return (jnp.take(flat, idx, axis=0)
+                * block.weight[:, :, None]).sum(axis=1)
+    # 'stack': msg[n,k,u] routed to channel block rating[n,k].
+    msg = jnp.take(flat, idx, axis=0) * block.weight[:, :, None]  # N,K,U
+    onehot = jax.nn.one_hot(block.rating, R, dtype=msg.dtype)     # N,K,R
+    pooled = jnp.einsum("nku,nkr->nru", msg, onehot,
+                        preferred_element_type=jnp.float32)
+    n_dst = pooled.shape[0]
+    return pooled.reshape(n_dst, R * units)
 
 
 def sampled_forward(params, cfg, plan: StackedPlan, noise_user, noise_item,
