@@ -60,12 +60,17 @@ def main():
         stats = trainer.train_iteration(batch, recon)
     jax.block_until_ready(stats["loss"])
 
-    n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        stats = trainer.train_iteration(batch, recon)
-    jax.block_until_ready(stats["loss"])
-    dt = (time.perf_counter() - t0) / n_steps
+    # Median of 3 timing windows — the TPU relay has ~±10% run-to-run
+    # variance.
+    windows = []
+    for _ in range(3):
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            stats = trainer.train_iteration(batch, recon)
+        jax.block_until_ready(stats["loss"])
+        windows.append((time.perf_counter() - t0) / n_steps)
+    dt = sorted(windows)[1]
 
     edges_per_s = edges_per_step / dt
     print(json.dumps({
