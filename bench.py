@@ -47,29 +47,37 @@ def main():
     E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
     edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
 
-    batch = next(trainer.data_iter.rating_sampler(
-        trainer.train_batch, "train"))
-    noise, _, all_ids = next(
-        trainer.data_iter.recon_nodes_sampler(batch_size=10**6))
-    recon = trainer.prepare_recon_batch(noise, all_ids)
+    # k steps fused per dispatch (the production fit() path with
+    # TRAIN.SCAN_STEPS; numerically identical to single steps).
+    K = 10
+    rating_sampler = trainer.data_iter.rating_sampler(
+        trainer.train_batch, "train")
+    recon_sampler = trainer.data_iter.recon_nodes_sampler(batch_size=10**6)
+
+    def pull_chunk():
+        rbs, cbs = [], []
+        for _ in range(K):
+            rbs.append(next(rating_sampler))
+            noise, _, ids = next(recon_sampler)
+            cbs.append(trainer.prepare_recon_batch(noise, ids))
+        return rbs, cbs
 
     # compile + warmup
-    stats = trainer.train_iteration(batch, recon)
-    jax.block_until_ready(stats["loss"])
-    for _ in range(3):
-        stats = trainer.train_iteration(batch, recon)
+    rbs, cbs = pull_chunk()
+    stats = trainer.train_chunk(rbs, cbs)
     jax.block_until_ready(stats["loss"])
 
     # Median of 3 timing windows — the TPU relay has ~±10% run-to-run
-    # variance.
+    # variance.  Host batch prep overlaps device compute as in fit().
     windows = []
     for _ in range(3):
-        n_steps = 20
+        n_chunks = 3
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            stats = trainer.train_iteration(batch, recon)
+        for _ in range(n_chunks):
+            rbs, cbs = pull_chunk()
+            stats = trainer.train_chunk(rbs, cbs)
         jax.block_until_ready(stats["loss"])
-        windows.append((time.perf_counter() - t0) / n_steps)
+        windows.append((time.perf_counter() - t0) / (n_chunks * K))
     dt = sorted(windows)[1]
 
     edges_per_s = edges_per_step / dt

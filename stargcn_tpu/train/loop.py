@@ -92,6 +92,10 @@ class TrainSettings:
     recon_lambda: float = 0.1
     use_dae: bool = True
     seed: int = 123
+    # Steps fused into one device dispatch via lax.scan (amortises
+    # per-dispatch overhead; must divide log/valid intervals to keep the
+    # logging cadence exact).
+    scan_steps: int = 1
 
     @staticmethod
     def from_cfg(cfg):
@@ -111,6 +115,7 @@ class TrainSettings:
             recon_lambda=cfg.MODEL.RECON_LAMBDA,
             use_dae=cfg.MODEL.USE_DAE,
             seed=cfg.SEED,
+            scan_steps=cfg.TRAIN.get("SCAN_STEPS", 1),
         )
 
 
@@ -206,6 +211,8 @@ class Trainer:
         self._train_step = jax.jit(partial(_train_step, self),
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(partial(_eval_step, self))
+        self._scan_step = None
+        self._scan_k = 0
 
     # ------------------------------ setup -----------------------------------
 
@@ -285,16 +292,13 @@ class Trainer:
         rating = self._lookup_rating_np[pos]
         return hit, rating
 
-    def train_iteration(self, rating_batch, recon_batch):
-        """One optimisation step.  Returns device-side stats dict."""
+    def _prep_host_arrays(self, rating_batch, recon_batch):
+        """Bundle one step's inputs into 4 host arrays (relay transfer
+        latency is per-array)."""
         (pairs, gt_ratings) = rating_batch
         noise_u, noise_i, recon_mask_u, recon_mask_i = recon_batch
-        self._rng_key, step_key = jax.random.split(self._rng_key)
         B = self.train_batch_padded
         n = gt_ratings.size
-        # Bundled transfers: one int32 and one float32 batch array, one
-        # int32 noise array, one float32 recon-mask array (device->host
-        # relay latency is per-transfer).
         ints = np.zeros((3, B), np.int32)
         flts = np.zeros((3, B), np.float32)
         ints[0, :n], ints[1, :n] = pairs[0], pairs[1]
@@ -304,19 +308,56 @@ class Trainer:
         noise = np.concatenate([noise_u, noise_i]).astype(np.int32)
         rmask = np.concatenate([recon_mask_u, recon_mask_i]).astype(
             np.float32)
-        ints_d, flts_d = jnp.asarray(ints), jnp.asarray(flts)
-        noise_d, rmask_d = jnp.asarray(noise), jnp.asarray(rmask)
-        if self.shardings is not None:
-            # shard the batch axis (axis 1) over 'data'
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        return ints, flts, noise, rmask
 
-            bsharding = NamedSharding(self.mesh, P(None, "data"))
-            ints_d = jax.device_put(ints, bsharding)
-            flts_d = jax.device_put(flts, bsharding)
-            noise_d, rmask_d = self.shardings.place_replicated(noise, rmask)
+    def _place_step_inputs(self, ints, flts, noise, rmask):
+        if self.shardings is None:
+            return (jnp.asarray(ints), jnp.asarray(flts),
+                    jnp.asarray(noise), jnp.asarray(rmask))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # batch axis is the LAST axis in both layouts ([3,B] / [k,3,B])
+        spec = [None] * (ints.ndim - 1) + ["data"]
+        bshard = NamedSharding(self.mesh, P(*spec))
+        return (jax.device_put(ints, bshard), jax.device_put(flts, bshard),
+                *self.shardings.place_replicated(noise, rmask))
+
+    def train_iteration(self, rating_batch, recon_batch):
+        """One optimisation step.  Returns device-side stats dict."""
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        host = self._prep_host_arrays(rating_batch, recon_batch)
+        ints_d, flts_d, noise_d, rmask_d = self._place_step_inputs(*host)
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state, ints_d, flts_d, noise_d, rmask_d,
             step_key)
+        return stats
+
+    def train_chunk(self, rating_batches, recon_batches):
+        """k fused optimisation steps in ONE device dispatch (lax.scan).
+
+        Amortises the per-dispatch overhead of the runtime; numerically
+        identical to k ``train_iteration`` calls.  Returns stats stacked
+        along a leading k axis.
+        """
+        k = len(rating_batches)
+        # Same key sequence as k single steps: results are bit-identical
+        # regardless of scan_steps.
+        keys = []
+        for _ in range(k):
+            self._rng_key, sk = jax.random.split(self._rng_key)
+            keys.append(sk)
+        keys = jnp.stack(keys)
+        preps = [self._prep_host_arrays(rb, cb)
+                 for rb, cb in zip(rating_batches, recon_batches)]
+        stacked = [np.stack([p[j] for p in preps]) for j in range(4)]
+        ints_d, flts_d, noise_d, rmask_d = self._place_step_inputs(*stacked)
+        if self._scan_step is None or self._scan_k != k:
+            self._scan_k = k
+            self._scan_step = jax.jit(partial(_scan_train_steps, self),
+                                      donate_argnums=(0, 1))
+        self.params, self.opt_state, stats = self._scan_step(
+            self.params, self.opt_state, ints_d, flts_d, noise_d, rmask_d,
+            keys)
         return stats
 
     def prepare_recon_batch(self, embed_noise_dict, recon_ids_dict):
@@ -453,40 +494,80 @@ class Trainer:
         nb = self.model_cfg.nblocks
         t_start = time.time()
         stop = False
+        # Steps per device dispatch: fuse via lax.scan when the cadence
+        # allows (numerically identical; amortises dispatch overhead).
+        k = s.scan_steps if (s.scan_steps > 1
+                             and s.log_interval % s.scan_steps == 0
+                             and s.valid_interval % s.scan_steps == 0) else 1
+
+        def next_batches():
+            rb = next(rating_sampler)
+            if s.use_dae:
+                noise_dict, _, all_recon_ids = next(recon_sampler)
+                cb = self.prepare_recon_batch(noise_dict, all_recon_ids)
+            else:
+                ident_u = np.arange(self.model_cfg.num_users,
+                                    dtype=np.int32)
+                ident_i = np.arange(self.model_cfg.num_items,
+                                    dtype=np.int32)
+                cb = (ident_u, ident_i,
+                      np.zeros(self.model_cfg.num_users, np.float32),
+                      np.zeros(self.model_cfg.num_items, np.float32))
+            return rb, cb
+
         # Stats stay on device between log intervals: one host sync per
         # interval instead of per step (the reference pays a device->host
         # round trip every iteration, ``STAR-GCN.py:641-660``).
         pending = []
         pending_cnt = 0
-        for iter_idx in range(1, max_iter + 1):
-            pairs, gt_ratings = next(rating_sampler)
-            if s.use_dae:
-                noise_dict, _, all_recon_ids = next(recon_sampler)
-                recon_batch = self.prepare_recon_batch(noise_dict,
-                                                       all_recon_ids)
+        iter_idx = 0
+        while iter_idx < max_iter:
+            if k > 1 and iter_idx + k <= max_iter:
+                pulls = [next_batches() for _ in range(k)]
+                stats = self.train_chunk([p[0] for p in pulls],
+                                         [p[1] for p in pulls])
+                # stacked stats: split back into per-step trees lazily
+                pending.append(stats)
+                pending_cnt += sum(p[0][1].size for p in pulls)
+                iter_idx += k
             else:
-                ident_u = np.arange(self.model_cfg.num_users, dtype=np.int32)
-                ident_i = np.arange(self.model_cfg.num_items, dtype=np.int32)
-                recon_batch = (ident_u, ident_i,
-                               np.zeros(self.model_cfg.num_users, np.float32),
-                               np.zeros(self.model_cfg.num_items, np.float32))
-            stats = self.train_iteration((pairs, gt_ratings), recon_batch)
-            pending.append(stats)
-            pending_cnt += gt_ratings.size
+                rb, cb = next_batches()
+                stats = self.train_iteration(rb, cb)
+                pending.append(stats)
+                pending_cnt += rb[1].size
+                iter_idx += 1
 
             logging_str = ""
             if iter_idx % s.log_interval == 0:
                 fetched = jax.device_get(pending)
-                stats = fetched[-1]
+
+                def acc(name):
+                    # leaves are [...] (single step) or [k, ...] (chunk;
+                    # chunked trees have a non-scalar 'loss')
+                    total, count = 0.0, 0
+                    for f in fetched:
+                        leaf = np.asarray(f[name])
+                        if np.asarray(f["loss"]).ndim > 0:
+                            total = total + leaf.sum(axis=0)
+                            count += leaf.shape[0]
+                        else:
+                            total = total + leaf
+                            count += 1
+                    return total, count
+
+                gnorm_sum, n_steps_acc = acc("gnorm")
+                sq_sum, _ = acc("sq_err")
+                rl_sum, _ = acc("rating_loss")
+                cl_sum, _ = acc("recon_loss")
+                last_loss = np.asarray(fetched[-1]["loss"]).reshape(-1)[-1]
+                stats = {"loss": last_loss}
                 avg = {
-                    "gnorm": sum(float(f["gnorm"]) for f in fetched),
-                    "sq": sum(np.asarray(f["sq_err"]) for f in fetched),
+                    "gnorm": gnorm_sum,
+                    "sq": sq_sum,
                     "cnt": pending_cnt,
-                    "rating_loss": sum(np.asarray(f["rating_loss"])
-                                       for f in fetched),
-                    "recon_loss": sum(np.asarray(f["recon_loss"])
-                                      for f in fetched),
-                    "batches": len(fetched),
+                    "rating_loss": rl_sum,
+                    "recon_loss": cl_sum,
+                    "batches": n_steps_acc,
                 }
                 pending, pending_cnt = [], 0
                 if not np.isfinite(float(stats["loss"])):
@@ -619,6 +700,21 @@ class Trainer:
 
 
 # ------------------------- jitted step functions -----------------------------
+
+
+def _scan_train_steps(trainer, params, opt_state, ints, flts, noise, rmask,
+                      keys):
+    """k fused steps: lax.scan over the single-step body."""
+
+    def body(carry, x):
+        p, o = carry
+        i, f, n, r, key = x
+        p, o, stats = _train_step(trainer, p, o, i, f, n, r, key)
+        return (p, o), stats
+
+    (params, opt_state), stats = jax.lax.scan(
+        body, (params, opt_state), (ints, flts, noise, rmask, keys))
+    return params, opt_state, stats
 
 
 def _train_step(trainer, params, opt_state, ints, flts, noise, rmask, rng):

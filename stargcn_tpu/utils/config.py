@@ -111,6 +111,8 @@ def default_cfg() -> EasyDict:
     cfg.TRAIN.LR_DECAY_FACTOR = 0.5
     cfg.TRAIN.EARLY_STOPPING_PATIENCE = 150
     cfg.TRAIN.GRAD_CLIP = 10.0
+    # TPU-framework extension: steps fused per device dispatch
+    cfg.TRAIN.SCAN_STEPS = 1
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()

@@ -108,6 +108,16 @@ def test_no_dae_single_block():
     assert np.isfinite(result["best_valid_rmse"])
 
 
+def test_scan_chunks_bit_identical():
+    """scan_steps fuses k steps per dispatch with the SAME key sequence —
+    results match single-step training exactly."""
+    t1, _ = make_trainer(**{"TRAIN.SCAN_STEPS": 1})
+    t2, _ = make_trainer(**{"TRAIN.SCAN_STEPS": 5})
+    r1 = t1.fit(max_iter=20)
+    r2 = t2.fit(max_iter=20)
+    assert abs(r1["best_valid_rmse"] - r2["best_valid_rmse"]) < 1e-6
+
+
 def test_nan_watchdog_recovers(tmp_path):
     import jax
     import jax.numpy as jnp
