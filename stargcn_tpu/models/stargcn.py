@@ -332,26 +332,25 @@ def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
         ones_i = jnp.ones_like(deg_i)
         scales = {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
 
-    rem = {"user": (None,) * 4, "item": (None,) * 4}
-    if removed_info is not None:
-        pu, pi, hit, r = removed_info
-        du_s, di_s = scales["user"]
-        wi_u = hit * jnp.take(du_s, pu) * jnp.take(di_s, pi)
-        di2_s, du2_s = scales["item"]
-        wi_i = hit * jnp.take(di2_s, pi) * jnp.take(du2_s, pu)
-        rem["user"] = (pi, pu, r, wi_u)
-        rem["item"] = (pu, pi, r, wi_i)
-
     adj = jax.lax.stop_gradient(dense_adj)
+    if removed_info is not None:
+        # Rank-B dense removal: ONE scalar scatter (width 1) builds the
+        # removed-edge mask; subtracting it from the 0/1 adjacency makes
+        # every subsequent aggregation (and its gradient) a pure matmul.
+        # This replaced per-aggregator row-scatter corrections that
+        # dominated the device step (8 x ~0.16 ms in the profile).
+        pu, pi, hit, r = removed_info
+        R, nu_, ni_ = adj.shape
+        idx = (r * nu_ + pu) * ni_ + pi
+        delta = jnp.zeros((R * nu_ * ni_,), adj.dtype).at[idx].add(
+            hit.astype(adj.dtype)).reshape(R, nu_, ni_)
+        adj = jax.lax.stop_gradient(adj - delta)  # 0/1 exact in bf16
+
     static_u = DenseStatic(
         adj=adj, dst_scale=scales["user"][0], src_scale=scales["user"][1],
-        rem_src=rem["user"][0], rem_dst=rem["user"][1],
-        rem_rating=rem["user"][2], rem_weight=rem["user"][3],
         transposed=False)
     static_i = DenseStatic(
         adj=adj, dst_scale=scales["item"][0], src_scale=scales["item"][1],
-        rem_src=rem["item"][0], rem_dst=rem["item"][1],
-        rem_rating=rem["item"][2], rem_weight=rem["item"][3],
         transposed=True)
     return static_u, static_i
 
