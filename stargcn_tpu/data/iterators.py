@@ -233,11 +233,17 @@ class DataIterator:
                 end = min(start + batch_size, n)
                 yield pairs[:, start:end], ratings[start:end]
         else:
+            # Epoch-shuffled slices: same without-replacement-within-batch
+            # property as the reference's per-batch ``rng.choice`` but
+            # amortised O(1) host cost per batch (one permutation per
+            # epoch instead of per iteration).
             while True:
                 if batch_size == n:
                     yield pairs, ratings
-                else:
-                    sel = self._rng.choice(n, batch_size, replace=False)
+                    continue
+                order = self._rng.permutation(n)
+                for start in range(0, n - batch_size + 1, batch_size):
+                    sel = order[start:start + batch_size]
                     yield pairs[:, sel], ratings[sel]
 
     def recon_nodes_sampler(self, batch_size, segment="train",

@@ -67,6 +67,13 @@ class STARGCNConfig:
     gen_rating_mid_map: int = 64
     # kernel backend for the aggregation ('xla' | 'dense' | 'pallas')
     backend: str = "xla"
+    # Noise arrays only ever hold -1 (mask) or the node's own id in every
+    # reference experiment (recon sampler: iterators.py:339-358; eval
+    # noise: iterators.py:228-236), so the masked embed reduces to an
+    # elementwise row mask — no gather, and crucially no sequential
+    # scatter in the embedding gradient.  Set False to allow arbitrary
+    # noise[i] = j redirects (gather path).
+    self_noise_only: bool = True
 
     def __post_init__(self):
         assert self.use_embed or self.use_fea_proj
@@ -208,8 +215,10 @@ class STARGCN(nn.Module):
                                name="embed_item")
             gt_embed = {"user": embed_u.embedding, "item": embed_i.embedding}
             input_feat = {
-                "user": _masked_embed(embed_u, noise_user, cfg.num_users),
-                "item": _masked_embed(embed_i, noise_item, cfg.num_items),
+                "user": _masked_embed(embed_u, noise_user, cfg.num_users,
+                                      cfg.self_noise_only),
+                "item": _masked_embed(embed_i, noise_item, cfg.num_items,
+                                      cfg.self_noise_only),
             }
         fea_proj = {}
         if cfg.use_fea_proj:
@@ -355,11 +364,15 @@ def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
     return static_u, static_i
 
 
-def _masked_embed(embed: nn.Embed, noise, num_nodes: int):
-    """Gather embeddings through the noise array (-1 -> zero vector)."""
+def _masked_embed(embed: nn.Embed, noise, num_nodes: int,
+                  self_noise_only: bool = True):
+    """Embeddings through the noise array (-1 -> zero vector)."""
     if noise is None:
-        ids = jnp.arange(num_nodes, dtype=jnp.int32)
-        return embed(ids)
+        return embed.embedding
     keep = (noise != -1)
+    if self_noise_only:
+        # noise[i] in {-1, i}: a row mask over the table suffices, and
+        # the gradient stays elementwise (no scatter).
+        return embed.embedding * keep[:, None].astype(jnp.float32)
     ids = jnp.where(keep, noise, 0)
     return embed(ids) * keep[:, None].astype(jnp.float32)

@@ -515,15 +515,46 @@ class Trainer:
                       np.zeros(self.model_cfg.num_items, np.float32))
             return rb, cb
 
+        # One-chunk-ahead prefetch: host batch sampling/prep runs in a
+        # background thread while the device executes the current chunk.
+        prefetcher = None
+        if k > 1:
+            import queue
+            import threading
+
+            q = queue.Queue(maxsize=2)
+            stop_evt = threading.Event()
+
+            def producer():
+                while not stop_evt.is_set():
+                    chunk = [next_batches() for _ in range(k)]
+                    while not stop_evt.is_set():
+                        try:
+                            q.put(chunk, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+
+            prefetcher = threading.Thread(target=producer, daemon=True)
+            prefetcher.start()
+
+            def next_chunk():
+                return q.get()
+        stop_prefetch = (stop_evt.set if prefetcher is not None
+                         else (lambda: None))
+
         # Stats stay on device between log intervals: one host sync per
         # interval instead of per step (the reference pays a device->host
         # round trip every iteration, ``STAR-GCN.py:641-660``).
         pending = []
         pending_cnt = 0
         iter_idx = 0
-        while iter_idx < max_iter:
-            if k > 1 and iter_idx + k <= max_iter:
-                pulls = [next_batches() for _ in range(k)]
+        # With chunking, max_iter rounds down to a multiple of k (the
+        # prefetch thread owns the samplers; no single-step tail).
+        effective_max = (max_iter // k) * k if k > 1 else max_iter
+        while iter_idx < effective_max:
+            if k > 1:
+                pulls = next_chunk()
                 stats = self.train_chunk([p[0] for p in pulls],
                                          [p[1] for p in pulls])
                 # stacked stats: split back into per-step trees lazily
@@ -635,6 +666,7 @@ class Trainer:
                 log(logging_str)
             if stop:
                 break
+        stop_prefetch()
         for lg in loggers.values():
             lg.close()
         log(f"Best Iter={best_iter}, Best Valid RMSE={best_valid_rmse:.4f}, "

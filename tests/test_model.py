@@ -63,13 +63,25 @@ def test_zero_mask_zeroes_embedding(small_setup):
 
 
 def test_noise_redirect(small_setup):
-    """noise[i] = j makes node i use node j's embedding."""
+    """noise[i] = j makes node i use node j's embedding (general gather
+    path, self_noise_only=False)."""
     _, _, gd, cfg, model, params, pu, pi, nu, ni = small_setup
+    cfg_g = STARGCNConfig(**{**cfg.__dict__, "self_noise_only": False})
+    model_g = STARGCN(cfg_g)
     # Redirect every user to user 0 — user input features become identical.
     nu_same = jnp.zeros_like(nu)
-    out = model.apply({"params": params}, gd, gd.edge_pad_mask, nu_same, ni,
-                      pu, pi, train=False)
+    out = model_g.apply({"params": params}, gd, gd.edge_pad_mask, nu_same,
+                        ni, pu, pi, train=False)
     assert np.all(np.isfinite(out["pred_ratings"]))
+    # self-or-masked noise: mask path == gather path exactly
+    nu_m = np.asarray(nu).copy()
+    nu_m[::3] = -1
+    want = model_g.apply({"params": params}, gd, gd.edge_pad_mask,
+                         jnp.asarray(nu_m), ni, pu, pi, train=False)
+    got = model.apply({"params": params}, gd, gd.edge_pad_mask,
+                      jnp.asarray(nu_m), ni, pu, pi, train=False)
+    np.testing.assert_allclose(got["pred_ratings"], want["pred_ratings"],
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_edge_mask_changes_predictions(small_setup):
