@@ -62,15 +62,18 @@ def main():
             cbs.append(trainer.prepare_recon_batch(noise, ids))
         return rbs, cbs
 
-    # compile + warmup
-    rbs, cbs = pull_chunk()
-    stats = trainer.train_chunk(rbs, cbs)
+    # compile + warmup (the runtime needs a few executions to reach
+    # steady state)
+    for _ in range(3):
+        rbs, cbs = pull_chunk()
+        stats = trainer.train_chunk(rbs, cbs)
     jax.block_until_ready(stats["loss"])
 
-    # Median of 3 timing windows — the TPU relay has ~±10% run-to-run
-    # variance.  Host batch prep overlaps device compute as in fit().
+    # Median of 5 timing windows — the TPU runtime shows ~±10%
+    # run-to-run variance.  Host batch prep pipelines with device
+    # compute as in fit().
     windows = []
-    for _ in range(3):
+    for _ in range(5):
         n_chunks = 3
         t0 = time.perf_counter()
         for _ in range(n_chunks):
@@ -78,7 +81,7 @@ def main():
             stats = trainer.train_chunk(rbs, cbs)
         jax.block_until_ready(stats["loss"])
         windows.append((time.perf_counter() - t0) / (n_chunks * K))
-    dt = sorted(windows)[1]
+    dt = sorted(windows)[len(windows) // 2]
 
     edges_per_s = edges_per_step / dt
     print(json.dumps({
