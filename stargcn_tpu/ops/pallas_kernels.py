@@ -53,6 +53,28 @@ def _pad_dim(x, axis, multiple, fill=0):
 # --------------------------------- SpMM ---------------------------------
 
 
+def _multi_hot(idx_ref, w_ref, chunk_start, bs):
+    """Weighted multi-hot incidence tile M (BD, BS):
+    ``M[d, s] = sum_k w[d, k] * [idx[d, k] - chunk_start == s]``.
+
+    Built with K compare/select accumulation passes on the VPU — one
+    column slice per fanout slot, no reshapes (Mosaic-friendly) — so the
+    contraction itself is a single MXU matmul per tile instead of the
+    (BD*K)-row one-hot variant (K x fewer flops).
+    """
+    idx = idx_ref[:]                    # (BD, K) int32 (global src index)
+    w = w_ref[:]                        # (BD, K) f32
+    bd, k = idx.shape
+    local = idx - chunk_start           # src index relative to this chunk
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bd, bs), 1)
+    m = jnp.zeros((bd, bs), jnp.float32)
+    for kk in range(k):
+        lk = jax.lax.slice(local, (0, kk), (bd, kk + 1))      # (BD, 1)
+        wk = jax.lax.slice(w, (0, kk), (bd, kk + 1))          # (BD, 1)
+        m = m + jnp.where(cols == lk, wk, 0.0)  # out-of-range never matches
+    return m
+
+
 def _spmm_kernel(idx_ref, w_ref, val_ref, out_ref, *, block_s):
     """out[bd, f] += sum_k w[bd, k] * val[idx[bd, k] - chunk_start, f]."""
     s = pl.program_id(2)
@@ -61,22 +83,10 @@ def _spmm_kernel(idx_ref, w_ref, val_ref, out_ref, *, block_s):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]                    # (BD, K) int32 (global src index)
-    w = w_ref[:]                        # (BD, K) f32
     vals = val_ref[:]                   # (BS, BF)
-    bd, k = idx.shape
-    bs = vals.shape[0]
-    local = idx - s * block_s           # src index relative to this chunk
-    in_range = (local >= 0) & (local < bs)
-    w_eff = jnp.where(in_range, w, 0.0)
-    local = jnp.clip(local, 0, bs - 1)
-    # Weighted one-hot incidence tile: (BD*K, BS) with w in the hot slot.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bd * k, bs), 1)
-    onehot = jnp.where(
-        cols == local.reshape(bd * k, 1), w_eff.reshape(bd * k, 1), 0.0)
-    gathered = jax.lax.dot(
-        onehot, vals, preferred_element_type=jnp.float32)  # (BD*K, BF)
-    out_ref[:] += gathered.reshape(bd, k, -1).sum(axis=1)
+    m = _multi_hot(idx_ref, w_ref, s * block_s, vals.shape[0])
+    out_ref[:] += jax.lax.dot(m, vals,
+                              preferred_element_type=jnp.float32)
 
 
 def ell_spmm_fwd_only(values, nbr_idx, nbr_weight, *, block_d=256,
@@ -119,7 +129,13 @@ def ell_spmm_fwd_only(values, nbr_idx, nbr_weight, *, block_d=256,
 
 
 def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s):
-    """out[bd, k] += dot(q[bd, :], val[idx[bd, k] - chunk_start, :])."""
+    """out[bd, k] += dot(q[bd, :], val[idx[bd, k] - chunk_start, :]).
+
+    One MXU contraction ``G = q @ vals^T`` per (dst-tile, src-chunk),
+    then K select-reduce passes pick each slot's score from G — the
+    in-register analogue of the reference's shared-memory SDDMM tiling
+    (``seg_op.cu:573-664``) without dynamic gathers.
+    """
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -132,14 +148,18 @@ def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s):
     bd, k = idx.shape
     bs = vals.shape[0]
     local = idx - s * block_s
-    in_range = (local >= 0) & (local < bs)
-    local = jnp.clip(local, 0, bs - 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bd * k, bs), 1)
-    onehot = jnp.where(cols == local.reshape(bd * k, 1), 1.0, 0.0)
-    gathered = jax.lax.dot(
-        onehot, vals, preferred_element_type=jnp.float32)  # (BD*K, F)
-    scores = (gathered.reshape(bd, k, -1) * q[:, None, :]).sum(axis=-1)
-    out_ref[:] += jnp.where(in_range, scores, 0.0)
+    # G[d, s] = q[d] . vals[s]   (contract the feature dim, no transpose)
+    g = jax.lax.dot_general(
+        q, vals, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (BD, BS)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bd, bs), 1)
+    scores = []
+    for kk in range(k):
+        lk = jax.lax.slice(local, (0, kk), (bd, kk + 1))      # (BD, 1)
+        score_k = jnp.sum(jnp.where(cols == lk, g, 0.0), axis=1,
+                          keepdims=True)                      # (BD, 1)
+        scores.append(score_k)
+    out_ref[:] += jnp.concatenate(scores, axis=1)
 
 
 def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
@@ -177,27 +197,21 @@ def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
 # --------------------------- transpose SpMM ------------------------------
 
 
-def _spmm_t_kernel(idx_ref, g_ref, out_ref, *, block_s):
-    """out[s, f] += sum_{(i,k): idx[i,k]==s} g[i, k, f] — via onehot^T."""
+def _spmm_t_kernel(idx_ref, w_ref, g_ref, out_ref, *, block_s):
+    """out[s, f] += sum_{(d,k): idx[d,k]==s} w[d,k] * g[d, f] — M^T @ g."""
     d = pl.program_id(2)
 
     @pl.when(d == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]                    # (BD, K)
-    g = g_ref[:]                        # (BD*K, BF) pre-weighted cotangent
-    bd, k = idx.shape
-    bs = out_ref.shape[0]
+    g = g_ref[:]                        # (BD, BF) cotangent rows
     s = pl.program_id(0)
-    local = idx - s * block_s
-    in_range = (local >= 0) & (local < bs)
-    local = jnp.where(in_range, local, bs)  # out-of-tile -> dead column
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bd * k, bs + 8), 1)
-    onehot = jnp.where(cols == local.reshape(bd * k, 1), 1.0, 0.0)
-    contrib = jax.lax.dot(
-        onehot.T, g, preferred_element_type=jnp.float32)  # (BS+8, BF)
-    out_ref[:] += contrib[:bs]
+    m = _multi_hot(idx_ref, w_ref, s * block_s, out_ref.shape[0])
+    # contract the BD dim: out[s, f] = sum_d m[d, s] * g[d, f]
+    out_ref[:] += jax.lax.dot_general(
+        m, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
@@ -216,11 +230,9 @@ def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
     block_f = min(block_f, max(128, feat))
     block_s = min(block_s, max(128, num_src))
 
-    # Pre-weight and expand the cotangent to (num_dst*K, feat) rows.
-    g = (cotangent[:, None, :] * nbr_weight[:, :, None]).reshape(
-        num_dst * K, feat)
-    g = _pad_dim(_pad_dim(g, 0, block_d * K), 1, block_f)
+    g = _pad_dim(_pad_dim(cotangent, 0, block_d), 1, block_f)
     idx = _pad_dim(nbr_idx, 0, block_d)
+    w = _pad_dim(nbr_weight, 0, block_d)
     D_p = idx.shape[0]
     S_p = _cdiv(num_src, block_s) * block_s
     F_p = g.shape[1]
@@ -231,12 +243,13 @@ def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_d, K), lambda s, f, d: (d, 0)),
-            pl.BlockSpec((block_d * K, block_f), lambda s, f, d: (d, f)),
+            pl.BlockSpec((block_d, K), lambda s, f, d: (d, 0)),
+            pl.BlockSpec((block_d, block_f), lambda s, f, d: (d, f)),
         ],
         out_specs=pl.BlockSpec((block_s, block_f), lambda s, f, d: (s, f)),
         out_shape=jax.ShapeDtypeStruct((S_p, F_p), jnp.float32),
         interpret=interpret,
-    )(idx, g)
+    )(idx, w, g)
     return out[:num_src, :feat]
 
 

@@ -135,6 +135,55 @@ def test_accum_sum_and_recurrent_variants():
                 assert enc_keys == ["enc_b0"]
 
 
+def test_two_layer_stack():
+    """AGG.UNITS lists with L=2 build two GCN layers per block
+    (reference zip(AGG.UNITS, OUT.UNITS), STAR-GCN.py:203)."""
+    g = synthetic_graph(num_users=12, num_items=9, num_edges=70,
+                        rating_values=(1, 2), seed=5)
+    gd = BipartiteGraphData.from_csr(g["user", "movie"], pad_multiple=32)
+    cfg = STARGCNConfig(
+        num_users=12, num_items=9, num_links=2, nblocks=2,
+        embed_units=4, agg_units=(8, 6), out_units=(7, 5),
+        agg_accum="stack", gen_rating_mid_map=4)
+    model = STARGCN(cfg)
+    pu = jnp.zeros(4, jnp.int32); pi = jnp.zeros(4, jnp.int32)
+    nu = jnp.arange(12, dtype=jnp.int32); ni = jnp.arange(9, dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        gd, gd.edge_pad_mask, nu, ni, pu, pi, train=False)["params"]
+    assert "l0" in params["enc_b0"] and "l1" in params["enc_b0"]
+    # layer 1 consumes layer 0's out_units (7)
+    assert params["enc_b0"]["l1"]["agg_user_item"]["weight"].shape == \
+        (2, 7, 3)
+    out = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                      pu, pi, train=False)
+    assert np.all(np.isfinite(out["pred_ratings"]))
+
+
+def test_gcn_recurrent_depth_sharing():
+    """GCN.USE_RECURRENT shares ONE layer's weights across depth
+    (layers.py:227-258)."""
+    g = synthetic_graph(num_users=12, num_items=9, num_edges=70,
+                        rating_values=(1, 2), seed=5)
+    gd = BipartiteGraphData.from_csr(g["user", "movie"], pad_multiple=32)
+    cfg = STARGCNConfig(
+        num_users=12, num_items=9, num_links=2, nblocks=1,
+        use_dae=False, embed_units=6, agg_units=(8, 8), out_units=(6, 6),
+        gcn_use_recurrent=True, agg_accum="sum", gen_rating_mid_map=4)
+    model = STARGCN(cfg)
+    pu = jnp.zeros(4, jnp.int32); pi = jnp.zeros(4, jnp.int32)
+    nu = jnp.arange(12, dtype=jnp.int32); ni = jnp.arange(9, dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        gd, gd.edge_pad_mask, nu, ni, pu, pi, train=False)["params"]
+    # single layer parameter set despite depth 2; input dim must equal
+    # out dim for weight sharing to typecheck (6 -> 6)
+    assert list(params["enc_b0"].keys()) == ["l0"]
+    out = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                      pu, pi, train=False)
+    assert np.all(np.isfinite(out["pred_ratings"]))
+
+
 def test_param_count_structure(small_setup):
     """Per-rating weights: (R, D, U') with stack splitting units."""
     _, _, _, cfg, model, params, *_ = small_setup
