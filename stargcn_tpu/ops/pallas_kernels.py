@@ -75,7 +75,8 @@ def _multi_hot(idx_ref, w_ref, chunk_start, bs):
     return m
 
 
-def _spmm_kernel(idx_ref, w_ref, val_ref, out_ref, *, block_s):
+def _spmm_kernel(idx_ref, w_ref, val_ref, out_ref, *, block_s,
+                 precision):
     """out[bd, f] += sum_k w[bd, k] * val[idx[bd, k] - chunk_start, f]."""
     s = pl.program_id(2)
 
@@ -85,12 +86,13 @@ def _spmm_kernel(idx_ref, w_ref, val_ref, out_ref, *, block_s):
 
     vals = val_ref[:]                   # (BS, BF)
     m = _multi_hot(idx_ref, w_ref, s * block_s, vals.shape[0])
-    out_ref[:] += jax.lax.dot(m, vals,
+    out_ref[:] += jax.lax.dot(m, vals, precision=precision,
                               preferred_element_type=jnp.float32)
 
 
 def ell_spmm_fwd_only(values, nbr_idx, nbr_weight, *, block_d=256,
-                      block_f=256, block_s=512, interpret=False):
+                      block_f=256, block_s=512, interpret=False,
+                      precision=None):
     """``out[i] = sum_k nbr_weight[i,k] * values[nbr_idx[i,k]]`` (no vjp).
 
     Args:
@@ -111,7 +113,8 @@ def ell_spmm_fwd_only(values, nbr_idx, nbr_weight, *, block_d=256,
 
     grid = (D_p // block_d, F_p // block_f, S_p // block_s)
     out = pl.pallas_call(
-        functools.partial(_spmm_kernel, block_s=block_s),
+        functools.partial(_spmm_kernel, block_s=block_s,
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_d, K), lambda d, f, s: (d, 0)),
@@ -128,7 +131,8 @@ def ell_spmm_fwd_only(values, nbr_idx, nbr_weight, *, block_d=256,
 # -------------------------------- SDDMM ---------------------------------
 
 
-def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s):
+def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s,
+                  precision):
     """out[bd, k] += dot(q[bd, :], val[idx[bd, k] - chunk_start, :]).
 
     One MXU contraction ``G = q @ vals^T`` per (dst-tile, src-chunk),
@@ -151,6 +155,7 @@ def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s):
     # G[d, s] = q[d] . vals[s]   (contract the feature dim, no transpose)
     g = jax.lax.dot_general(
         q, vals, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32)                  # (BD, BS)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bd, bs), 1)
     scores = []
@@ -163,7 +168,7 @@ def _sddmm_kernel(idx_ref, q_ref, val_ref, out_ref, *, block_s):
 
 
 def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
-              interpret=False):
+              interpret=False, precision=None):
     """``out[i, k] = dot(queries[i], values[nbr_idx[i, k]])``.
 
     The ELL analogue of ``seg_take_k_corr`` (``seg_op.cc:150-178``).
@@ -180,7 +185,8 @@ def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
 
     grid = (D_p // block_d, S_p // block_s)
     out = pl.pallas_call(
-        functools.partial(_sddmm_kernel, block_s=block_s),
+        functools.partial(_sddmm_kernel, block_s=block_s,
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_d, K), lambda d, s: (d, 0)),
@@ -197,7 +203,8 @@ def ell_sddmm(queries, values, nbr_idx, *, block_d=256, block_s=512,
 # --------------------------- transpose SpMM ------------------------------
 
 
-def _spmm_t_kernel(idx_ref, w_ref, g_ref, out_ref, *, block_s):
+def _spmm_t_kernel(idx_ref, w_ref, g_ref, out_ref, *, block_s,
+                   precision):
     """out[s, f] += sum_{(d,k): idx[d,k]==s} w[d,k] * g[d, f] — M^T @ g."""
     d = pl.program_id(2)
 
@@ -211,12 +218,13 @@ def _spmm_t_kernel(idx_ref, w_ref, g_ref, out_ref, *, block_s):
     # contract the BD dim: out[s, f] = sum_d m[d, s] * g[d, f]
     out_ref[:] += jax.lax.dot_general(
         m, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32)
 
 
 def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
                        block_d=256, block_f=256, block_s=512,
-                       interpret=False):
+                       interpret=False, precision=None):
     """``d_values[s] = sum_{(i,k): idx[i,k]==s} w[i,k] * cotangent[i]``.
 
     The scatter adjoint of ``ell_spmm`` — role of the reference's
@@ -239,7 +247,8 @@ def ell_spmm_transpose(cotangent, nbr_idx, nbr_weight, num_src, *,
 
     grid = (S_p // block_s, F_p // block_f, D_p // block_d)
     out = pl.pallas_call(
-        functools.partial(_spmm_t_kernel, block_s=block_s),
+        functools.partial(_spmm_t_kernel, block_s=block_s,
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_d, K), lambda s, f, d: (d, 0)),
