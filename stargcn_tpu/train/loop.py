@@ -498,7 +498,8 @@ class Trainer:
         # allows (numerically identical; amortises dispatch overhead).
         k = s.scan_steps if (s.scan_steps > 1
                              and s.log_interval % s.scan_steps == 0
-                             and s.valid_interval % s.scan_steps == 0) else 1
+                             and s.valid_interval % s.scan_steps == 0
+                             and max_iter >= s.scan_steps) else 1
 
         def next_batches():
             rb = next(rating_sampler)
