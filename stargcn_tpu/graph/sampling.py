@@ -60,11 +60,19 @@ class SampledBlocks:
 
 
 class BlockSampler:
-    """Samples fixed-shape L-layer blocks from a ``HeterGraph``."""
+    """Samples fixed-shape L-layer blocks from a ``HeterGraph``.
+
+    ``frontier_caps`` (optional ``{'user': n, 'item': n}``) pads EVERY
+    frontier to exactly those sizes, so repeated sampling produces
+    identical shapes and a single compiled training program serves all
+    batches (raises if a frontier exceeds its cap).
+    """
 
     def __init__(self, graph, num_layers: int, fanout: int = -1,
                  symm: bool = True, node_pad: int = 128,
-                 name_user: str = "user", name_item: str = "movie"):
+                 name_user: str = "user", name_item: str = "movie",
+                 frontier_caps: dict | None = None):
+        self.frontier_caps = frontier_caps
         self.graph = graph
         self.num_layers = num_layers
         self.fanout = fanout
@@ -127,7 +135,15 @@ class BlockSampler:
             pmap = {}
             for t in ("user", "item"):
                 ids = lvl[t]
-                pad = _pad_to(ids.size, self.node_pad)
+                if self.frontier_caps is not None:
+                    pad = self.frontier_caps[t]
+                    if ids.size > pad:
+                        raise ValueError(
+                            f"frontier for {t!r} has {ids.size} nodes, "
+                            f"cap is {pad}; raise frontier_caps or lower "
+                            "the fanout/batch")
+                else:
+                    pad = _pad_to(ids.size, self.node_pad)
                 arr = np.full(pad, -1, np.int32)
                 arr[:ids.size] = ids
                 padded[t] = arr
@@ -141,19 +157,32 @@ class BlockSampler:
             for t, other in (("user", "item"), ("item", "user")):
                 nbr_ids, ptr, sup, rat = blocks[t]
                 dst_ids = levels[li + 1][t]
-                n_dst = _pad_to(dst_ids.size, self.node_pad)
+                if self.frontier_caps is not None:
+                    assert self.fanout > 0, (
+                        "fixed-shape mode needs a positive fanout")
+                    n_dst = self.frontier_caps[t]
+                else:
+                    n_dst = _pad_to(dst_ids.size, self.node_pad)
                 fan = (self.fanout if self.fanout > 0
                        else int(max(np.diff(ptr), default=1)))
                 nbr_pos = np.zeros((n_dst, fan), np.int32)
                 weight = np.zeros((n_dst, fan), np.float32)
                 rating = np.zeros((n_dst, fan), np.int32)
-                src_map = pos_maps[li][other]
-                for i in range(dst_ids.size):
-                    beg, end = ptr[i], ptr[i + 1]
-                    for k, j in enumerate(range(beg, end)):
-                        nbr_pos[i, k] = src_map[int(nbr_ids[j])]
-                        weight[i, k] = sup[j]
-                        rating[i, k] = rat[j]
+                src_ids = levels[li][other]
+                if nbr_ids.size:
+                    # vectorised scatter into the ELL slots
+                    map_arr = np.full(int(max(src_ids.max(initial=0),
+                                              nbr_ids.max())) + 1, -1,
+                                      np.int32)
+                    map_arr[src_ids] = np.arange(src_ids.size,
+                                                 dtype=np.int32)
+                    deg = (ptr[1:] - ptr[:-1]).astype(np.int64)
+                    rows = np.repeat(np.arange(dst_ids.size), deg)
+                    cols = (np.arange(nbr_ids.size)
+                            - np.repeat(ptr[:-1], deg))
+                    nbr_pos[rows, cols] = map_arr[nbr_ids]
+                    weight[rows, cols] = sup
+                    rating[rows, cols] = rat
                 lvl_blocks[t] = EllBlock(nbr_pos, weight, rating,
                                          num_dst_real=dst_ids.size)
             blocks_out.append(lvl_blocks)

@@ -1,23 +1,24 @@
-"""Sampled mini-batch forward: the two-phase plan/execute path.
+"""Sampled mini-batch forward/training: the two-phase plan/execute path.
 
 Functional re-implementation of the reference ``Net.forward``'s two-phase
 structure (``experiments/STAR-GCN.py:372-460``: top-down host PLAN via
 ``gen_plan``, bottom-up device EXECUTE via ``heter_sage``) for graphs too
-large for full-graph propagation.  The host phase
-(``StackedPlan.build``) samples fixed-shape ELL frontier chains per
-block; the device phase (``sampled_forward``) reuses the SAME parameter
-pytree as the full-graph ``STARGCN`` module, so checkpoints are
-interchangeable between modes.
+large for full-graph propagation.  The host phase (``StackedPlan.build``)
+samples fixed-shape ELL frontier chains per block and precomputes every
+cross-level index array, so the device phase (``sampled_forward``) is
+pure array code — jittable, differentiable, and (with ``frontier_caps``)
+single-program across batches.  It reuses the SAME parameter pytree as
+the full-graph ``STARGCN`` module, so checkpoints are interchangeable.
 
 With ``fanout = -1`` (all neighbors — every shipped reference config)
 the sampled forward is numerically identical to the full-graph forward
-on the target nodes (tested in ``tests/test_sampled.py``).
+on the target nodes (``tests/test_sampled.py``).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,16 +32,25 @@ from stargcn_tpu.ops.agg import multi_link_project
 
 @dataclasses.dataclass
 class StackedPlan:
-    """Per-block frontier chains, deepest block first (block 0)."""
+    """Per-block frontier chains (block 0 = deepest) + index arrays.
+
+    All members are numpy; convert with ``as_device()`` before feeding a
+    jitted step.  ``cross_gather[b]`` maps block b's level-0 frontier
+    into block b-1's top frontier (positions + validity).  ``recon_pos``
+    locates the reconstruction target ids in each block's top frontier.
+    """
 
     chains: List[SampledBlocks]
-    pairs_pos: List[dict]    # per block: positions of rating-pair nodes
-                             # in that block's top frontier
+    pairs_pos: List[dict]
+    cross_gather: List[Optional[dict]]
+    recon_ids: dict
+    recon_pos: List[dict]
 
     @staticmethod
     def build(graph, cfg, pairs_user, pairs_item, fanout=-1,
               node_pad=128, name_user="user", name_item="movie",
-              recon_user_ids=None, recon_item_ids=None, seed=None):
+              recon_user_ids=None, recon_item_ids=None, seed=None,
+              frontier_caps=None):
         """Top-down planning across blocks (``STAR-GCN.py:372-397``):
         block b's targets = rating-pair nodes (+ recon nodes) + the
         bottom frontier required by block b+1."""
@@ -49,38 +59,96 @@ class StackedPlan:
         L = len(cfg.agg_units)
         sampler = BlockSampler(graph, num_layers=L, fanout=fanout,
                                symm=cfg.agg_norm_symm, node_pad=node_pad,
-                               name_user=name_user, name_item=name_item)
+                               name_user=name_user, name_item=name_item,
+                               frontier_caps=frontier_caps)
         base_u = np.unique(np.asarray(pairs_user, np.int32))
         base_i = np.unique(np.asarray(pairs_item, np.int32))
-        if recon_user_ids is not None:
-            base_u = np.union1d(base_u, np.asarray(recon_user_ids, np.int32))
-        if recon_item_ids is not None:
-            base_i = np.union1d(base_i, np.asarray(recon_item_ids, np.int32))
+        recon_ids = {
+            "user": (np.asarray(recon_user_ids, np.int32)
+                     if recon_user_ids is not None
+                     else np.zeros(0, np.int32)),
+            "item": (np.asarray(recon_item_ids, np.int32)
+                     if recon_item_ids is not None
+                     else np.zeros(0, np.int32)),
+        }
+        base_u = np.union1d(base_u, recon_ids["user"])
+        base_i = np.union1d(base_i, recon_ids["item"])
 
         chains = []
         tgt_u, tgt_i = base_u, base_i
         for _ in range(cfg.nblocks):
             blocks = sampler.sample(tgt_u, tgt_i)
             chains.append(blocks)
-            # next (deeper) block must additionally produce this block's
-            # level-0 frontier
             f0 = blocks.frontiers[0]
             tgt_u = np.union1d(base_u, f0["user"][f0["user"] >= 0])
             tgt_i = np.union1d(base_i, f0["item"][f0["item"] >= 0])
         chains = chains[::-1]  # block 0 = deepest chain
 
-        pairs_pos = []
+        def positions(top_ids, query_ids):
+            """(pos, ok) of query_ids within top_ids (-1 slots -> ok=0)."""
+            size = int(max(top_ids.max(initial=0),
+                           query_ids.max(initial=0))) + 1
+            pos_map = np.full(size + 1, -1, np.int32)
+            valid_top = top_ids >= 0
+            pos_map[top_ids[valid_top]] = np.nonzero(valid_top)[0]
+            safe = np.where(query_ids >= 0, query_ids, size)
+            pos = pos_map[np.minimum(safe, size)]
+            ok = (pos >= 0) & (query_ids >= 0)
+            return (np.where(ok, pos, 0).astype(np.int32),
+                    ok.astype(np.float32))
+
         pu = np.asarray(pairs_user, np.int32)
         pi = np.asarray(pairs_item, np.int32)
-        for blocks in chains:
+        pairs_pos, cross_gather, recon_pos = [], [], []
+        for b, blocks in enumerate(chains):
             top = blocks.frontiers[-1]
-            pos_u = {int(v): i for i, v in enumerate(top["user"])}
-            pos_i = {int(v): i for i, v in enumerate(top["item"])}
             pairs_pos.append({
-                "user": np.asarray([pos_u[int(v)] for v in pu], np.int32),
-                "item": np.asarray([pos_i[int(v)] for v in pi], np.int32),
+                "user": positions(top["user"], pu)[0],
+                "item": positions(top["item"], pi)[0],
             })
-        return StackedPlan(chains=chains, pairs_pos=pairs_pos)
+            recon_pos.append({
+                t: positions(top[t], recon_ids[t]) for t in ("user", "item")
+            })
+            if b == 0:
+                cross_gather.append(None)
+            else:
+                prev_top = chains[b - 1].frontiers[-1]
+                f0 = blocks.frontiers[0]
+                cross_gather.append({
+                    t: positions(prev_top[t], f0[t])
+                    for t in ("user", "item")})
+        return StackedPlan(chains=chains, pairs_pos=pairs_pos,
+                           cross_gather=cross_gather, recon_ids=recon_ids,
+                           recon_pos=recon_pos)
+
+    def as_device(self):
+        """Jittable pytree of the plan's arrays (shapes are static for a
+        capped sampler, so one compiled step serves every batch)."""
+        def blk(b):
+            return {"nbr_pos": jnp.asarray(b.nbr_pos),
+                    "weight": jnp.asarray(b.weight),
+                    "rating": jnp.asarray(b.rating)}
+
+        return {
+            "frontiers": [
+                {t: jnp.asarray(f[t]) for t in ("user", "item")}
+                for c in self.chains for f in [c.frontiers[0]]],
+            "blocks": [[{t: blk(lvl[t]) for t in ("user", "item")}
+                        for lvl in c.blocks] for c in self.chains],
+            "pairs_pos": [{t: jnp.asarray(p[t]) for t in ("user", "item")}
+                          for p in self.pairs_pos],
+            "cross_gather": [
+                None if cg is None else
+                {t: (jnp.asarray(cg[t][0]), jnp.asarray(cg[t][1]))
+                 for t in ("user", "item")}
+                for cg in self.cross_gather],
+            "recon_pos": [
+                {t: (jnp.asarray(rp[t][0]), jnp.asarray(rp[t][1]))
+                 for t in ("user", "item")}
+                for rp in self.recon_pos],
+            "recon_ids": {t: jnp.asarray(self.recon_ids[t])
+                          for t in ("user", "item")},
+        }
 
 
 def _masked_embed_rows(table, ids, noise):
@@ -102,86 +170,100 @@ def _ell_aggregate(proj, block, accum, use_pallas):
     """
     R, n_src, units = proj.shape
     flat = proj.reshape(R * n_src, units)
-    idx = block.rating * n_src + block.nbr_pos
+    idx = block["rating"] * n_src + block["nbr_pos"]
+    w = block["weight"]
     if accum == "sum":
         if use_pallas:
             from stargcn_tpu.ops.pallas_kernels import ell_spmm
 
-            return ell_spmm(flat, idx, block.weight, False)
-        return (jnp.take(flat, idx, axis=0)
-                * block.weight[:, :, None]).sum(axis=1)
+            return ell_spmm(flat, idx, w, False)
+        return (jnp.take(flat, idx, axis=0) * w[:, :, None]).sum(axis=1)
     # 'stack': msg[n,k,u] routed to channel block rating[n,k].
-    msg = jnp.take(flat, idx, axis=0) * block.weight[:, :, None]  # N,K,U
-    onehot = jax.nn.one_hot(block.rating, R, dtype=msg.dtype)     # N,K,R
+    msg = jnp.take(flat, idx, axis=0) * w[:, :, None]              # N,K,U
+    onehot = jax.nn.one_hot(block["rating"], R, dtype=msg.dtype)   # N,K,R
     pooled = jnp.einsum("nku,nkr->nru", msg, onehot,
                         preferred_element_type=jnp.float32)
     n_dst = pooled.shape[0]
     return pooled.reshape(n_dst, R * units)
 
 
-def sampled_forward(params, cfg, plan: StackedPlan, noise_user, noise_item,
-                    backend: str = "xla"):
+def sampled_forward(params, cfg, plan, noise_user, noise_item,
+                    backend: str = "xla", *, train: bool = False,
+                    dropout_rng=None):
     """Bottom-up execution of the stacked plan (``STAR-GCN.py:399-460``).
 
-    Deterministic (no dropout) — intended for evaluation/serving on
-    graphs where full-graph propagation does not fit.  Reuses the
-    full-graph parameter pytree.
+    ``plan`` may be a ``StackedPlan`` (converted on the fly) or the
+    output of ``StackedPlan.as_device()`` (jit-friendly).  Dropout
+    placement matches the reference (source features inside each
+    aggregator, ``aggregators.py:131``; aggregated features before the
+    out-FC, ``layers.py:169``).
 
-    Returns {'pred_ratings': (nblocks, B), 'pred_embed': [...]} with the
-    same semantics as ``STARGCN.__call__``.
+    Returns {'pred_ratings': (nblocks, B), 'pred_embed': per block per
+    type (n_recon, emb) rows, 'recon_ok': per block per type validity,
+    'gt_embed': (n_recon, emb) unmasked embedding rows}.
     """
+    if isinstance(plan, StackedPlan):
+        plan = plan.as_device()
     act = get_activation(cfg.activation)
     use_pallas = backend == "pallas"
     table = {"user": params["embed_user"]["embedding"],
              "item": params["embed_item"]["embedding"]}
     noise = {"user": jnp.asarray(noise_user), "item": jnp.asarray(noise_item)}
 
-    pred_ratings, pred_embed = [], []
+    if train and dropout_rng is None:
+        raise ValueError("train=True requires dropout_rng")
+    rng_iter = [dropout_rng]
+
+    def dropout(x):
+        if not train or cfg.gcn_dropout == 0.0:
+            return x
+        rng_iter[0], sub = jax.random.split(rng_iter[0])
+        keep = jax.random.bernoulli(sub, 1.0 - cfg.gcn_dropout, x.shape)
+        return jnp.where(keep, x / (1.0 - cfg.gcn_dropout), 0.0)
+
+    nblocks = len(plan["blocks"])
+    pred_ratings, pred_embed, recon_ok = [], [], []
+    gt_embed = {
+        t: jnp.take(table[t],
+                    jnp.maximum(plan["recon_ids"][t], 0), axis=0)
+        for t in ("user", "item")}
     prev_top_feats = None
-    for block_id, blocks in enumerate(plan.chains):
+    for block_id in range(nblocks):
         pidx = 0 if cfg.use_recurrent else block_id
         enc = params[f"enc_b{pidx}"]
-        f0 = blocks.frontiers[0]
+        f0 = plan["frontiers"][block_id]
         if block_id == 0:
-            feats = {t: _masked_embed_rows(table[t],
-                                           jnp.asarray(f0[t]), noise[t])
+            feats = {t: _masked_embed_rows(table[t], f0[t], noise[t])
                      for t in ("user", "item")}
         else:
-            # input = embed_map(previous block output) for this block's
-            # level-0 frontier (gathered from the previous top frontier)
-            prev_top = plan.chains[block_id - 1].frontiers[-1]
+            cg = plan["cross_gather"][block_id]
             feats = {}
             for t in ("user", "item"):
-                pos = {int(v): i for i, v in enumerate(prev_top[t])}
-                gather = np.asarray(
-                    [pos.get(int(v), 0) for v in f0[t]], np.int32)
-                ok = np.asarray([int(v) >= 0 and int(v) in pos
-                                 for v in f0[t]], np.float32)
-                feats[t] = (jnp.take(prev_top_feats[t],
-                                     jnp.asarray(gather), axis=0)
-                            * jnp.asarray(ok)[:, None])
+                pos, ok = cg[t]
+                feats[t] = (jnp.take(prev_top_feats[t], pos, axis=0)
+                            * ok[:, None])
 
-        for li, lvl in enumerate(blocks.blocks):
+        for li, lvl in enumerate(plan["blocks"][block_id]):
             depth = 0 if cfg.gcn_use_recurrent else li
             layer = enc[f"l{depth}"]
             new_feats = {}
             for t, s in (("user", "item"), ("item", "user")):
                 agg_p = layer[f"agg_{t}_{s}"]
                 proj = multi_link_project(
-                    feats[s], agg_p["weight"], agg_p["bias"],
+                    dropout(feats[s]), agg_p["weight"], agg_p["bias"],
                     ordinal_sharing=cfg.agg_ordinal_sharing)
                 pooled = _ell_aggregate(proj, lvl[t], cfg.agg_accum,
                                         use_pallas)
-                pooled = act(pooled)  # agg_act
+                pooled = dropout(act(pooled))  # agg_act then dropout
                 out_p = layer[f"out_fc_{t}"]
                 h = pooled @ out_p["kernel"] + out_p["bias"]
                 new_feats[t] = act(h)  # out_act
             feats = new_feats
 
         # rating head
-        pp = plan.pairs_pos[block_id]
-        u_rows = jnp.take(feats["user"], jnp.asarray(pp["user"]), axis=0)
-        i_rows = jnp.take(feats["item"], jnp.asarray(pp["item"]), axis=0)
+        pp = plan["pairs_pos"][block_id]
+        u_rows = jnp.take(feats["user"], pp["user"], axis=0)
+        i_rows = jnp.take(feats["item"], pp["item"], axis=0)
         up = params[f"rating_user_proj_b{pidx}"]
         ip = params[f"rating_item_proj_b{pidx}"]
         u_rows = u_rows @ up["kernel"] + up["bias"]
@@ -195,8 +277,61 @@ def sampled_forward(params, cfg, plan: StackedPlan, noise_user, noise_item,
                 l1 = params[f"embed_map_b{pidx}_{t}_l1"]
                 h = act(feats[t] @ l0["kernel"] + l0["bias"])
                 mapped[t] = h @ l1["kernel"] + l1["bias"]
-            pred_embed.append(mapped)
+            rp = plan["recon_pos"][block_id]
+            pred_embed.append({
+                t: jnp.take(mapped[t], rp[t][0], axis=0)
+                for t in ("user", "item")})
+            recon_ok.append({t: rp[t][1] for t in ("user", "item")})
             prev_top_feats = mapped
 
     return {"pred_ratings": jnp.stack(pred_ratings, axis=0),
-            "pred_embed": pred_embed}
+            "pred_embed": pred_embed, "recon_ok": recon_ok,
+            "gt_embed": gt_embed}
+
+
+def sampled_loss(params, cfg, plan, noise_user, noise_item, gt_ratings,
+                 pairs_valid, rating_mean, rating_std, recon_lambda,
+                 *, train=False, dropout_rng=None, backend="xla"):
+    """Rating + reconstruction loss on a sampled plan — the sampled-mode
+    twin of the full-graph loss (``STAR-GCN.py:610-628``)."""
+    out = sampled_forward(params, cfg, plan, noise_user, noise_item,
+                          backend=backend, train=train,
+                          dropout_rng=dropout_rng)
+    target = (gt_ratings - rating_mean) / rating_std
+    n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
+    sq = (out["pred_ratings"] - target[None, :]) ** 2
+    rating_loss = 0.5 * jnp.sum(sq * pairs_valid[None, :], axis=1) / n_valid
+    loss = rating_loss.sum()
+    recon_losses = []
+    for blk, ok in zip(out["pred_embed"], out["recon_ok"]):
+        block_loss = 0.0
+        for t in ("user", "item"):
+            diff = jnp.sum((blk[t] - out["gt_embed"][t]) ** 2, axis=-1)
+            block_loss += (jnp.sum(diff * ok[t])
+                           / jnp.maximum(ok[t].sum(), 1.0))
+        recon_losses.append(block_loss)
+    if recon_losses:
+        loss = loss + recon_lambda * sum(recon_losses)
+    return loss, (rating_loss, out["pred_ratings"])
+
+
+def make_sampled_train_step(cfg, optimizer, rating_mean, rating_std,
+                            recon_lambda, backend="xla"):
+    """Jittable optimiser step over a device-plan — pair with a capped
+    ``BlockSampler`` so every batch shares one compiled program."""
+
+    @jax.jit
+    def step(params, opt_state, plan, noise_user, noise_item, gt_ratings,
+             pairs_valid, rng):
+        (loss, (rating_loss, preds)), grads = jax.value_and_grad(
+            sampled_loss, has_aux=True)(
+                params, cfg, plan, noise_user, noise_item, gt_ratings,
+                pairs_valid, rating_mean, rating_std, recon_lambda,
+                train=True, dropout_rng=rng, backend=backend)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, {"loss": loss,
+                                   "rating_loss": rating_loss,
+                                   "preds": preds}
+
+    return step

@@ -86,6 +86,61 @@ def test_fanout_caps_block_width(setup):
         assert (blk.weight != 0).sum(axis=1).max() <= 3
 
 
+def test_sampled_training_fixed_shapes(setup):
+    """Capped sampler -> identical shapes across batches -> one compiled
+    program; loss decreases over sampled training steps."""
+    import optax
+
+    from stargcn_tpu.models.sampled import (
+        StackedPlan,
+        make_sampled_train_step,
+    )
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    caps = {"user": 64, "item": 64}
+    mean = float(csr.values.mean())
+    std = float(csr.values.std())
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_sampled_train_step(cfg, opt, mean, std, recon_lambda=0.1)
+
+    rng = np.random.RandomState(0)
+    pairs = csr.node_pair_ids
+    losses = []
+    shapes = set()
+    import jax as _jax
+    p = params
+    for it in range(8):
+        sel = rng.choice(pairs.shape[1], 12, replace=False)
+        bu, bi = pairs[0, sel], pairs[1, sel]
+        gt = csr.values[sel]
+        plan = StackedPlan.build(
+            g, cfg, bu, bi, fanout=4, frontier_caps=caps,
+            recon_user_ids=bu[:4], recon_item_ids=bi[:4])
+        dplan = plan.as_device()
+        shapes.add(tuple(np.asarray(
+            dplan["frontiers"][0]["user"]).shape))
+        p, opt_state, stats = step(
+            p, opt_state, dplan, jnp.asarray(nu), jnp.asarray(ni),
+            jnp.asarray(gt), jnp.ones(12, jnp.float32),
+            _jax.random.PRNGKey(it))
+        losses.append(float(stats["loss"]))
+    assert len(shapes) == 1, "frontier shapes varied -> recompiles"
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_frontier_cap_exceeded_raises(setup):
+    from stargcn_tpu.graph.sampling import BlockSampler
+
+    g, csr, *_ = setup
+    sampler = BlockSampler(g, num_layers=1, fanout=8,
+                           frontier_caps={"user": 4, "item": 4})
+    with pytest.raises(ValueError, match="cap"):
+        sampler.sample(np.arange(10, dtype=np.int32),
+                       np.arange(10, dtype=np.int32))
+
+
 def test_sampled_pallas_backend_matches(setup):
     g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
     plan = StackedPlan.build(g, cfg, pu, pi, fanout=-1, node_pad=32)
