@@ -41,6 +41,15 @@ def main():
                              "auto | xla | dense")
     parser.add_argument("--mesh", default=None, type=str,
                         help="device mesh as DATAxMODEL, e.g. 2x4")
+    parser.add_argument("--profile", default=None, type=str,
+                        help="capture a jax.profiler trace of the first "
+                             "valid interval into this directory")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="multi-host coordinator address "
+                             "(host:port); requires --num_processes and "
+                             "--process_id")
+    parser.add_argument("--num_processes", default=None, type=int)
+    parser.add_argument("--process_id", default=None, type=int)
     args = parser.parse_args()
 
     if args.platform:
@@ -153,6 +162,11 @@ def main():
     model_cfg = build_model_config(
         cfg, num_users=csr.shape[0], num_items=csr.shape[1],
         num_links=len(csr.multi_link))
+    if args.coordinator:
+        from stargcn_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     mesh = None
     if cfg.PARALLEL.DATA_AXIS * cfg.PARALLEL.MODEL_AXIS > 1:
         from stargcn_tpu.parallel import make_mesh
@@ -162,6 +176,12 @@ def main():
     trainer = Trainer(model_cfg, data_iter,
                       TrainSettings.from_cfg(cfg),
                       save_dir=save_dir, save_id=save_id, mesh=mesh)
+    if args.profile:
+        from stargcn_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            trainer.fit(max_iter=cfg.TRAIN.VALID_INTERVAL)
+        logging.info("profile trace written to %s", args.profile)
     result = trainer.fit()
     logging.info("result: %s", result)
     return result

@@ -71,6 +71,7 @@ def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
         gen_rating_mid_map=cfg.GEN_RATING.MID_MAP,
         backend=resolve_backend(cfg.KERNEL.BACKEND, num_links,
                                 num_users, num_items),
+        self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
 
 

@@ -69,6 +69,9 @@ def default_cfg() -> EasyDict:
     cfg.MODEL.USE_RECURRENT = False
     cfg.MODEL.RECON_LAMBDA = 0.1
     cfg.MODEL.ACTIVATION = "leaky"
+    # TPU-framework extension: noise arrays hold only {-1, self} (true
+    # for every reference experiment) -> scatter-free embedding masking
+    cfg.MODEL.SELF_NOISE_ONLY = True
 
     cfg.GRAPH_SAMPLER = EasyDict()
     cfg.GRAPH_SAMPLER.NUM_NEIGHBORS = -1
