@@ -40,6 +40,19 @@ class NodeIDRMap:
         return self._rmap[np.asarray(node_ids, dtype=np.int32) - self._base]
 
 
+# Reference exposes a plain and a dense-array "Fast" variant
+# (``graph.py:109-140``); ours is the dense variant, aliased for parity.
+NodeIDRMapFast = NodeIDRMap
+
+
+def empty_as_zero(arrays, dtype):
+    """Replace zero-length arrays with a single-zero array (reference
+    ``empty_as_zero``, used when shipping per-rating CSR pieces whose
+    rating level has no edges, ``mxgraph/layers/layers.py:368-371``)."""
+    return [np.zeros(1, dtype=dtype) if np.asarray(a).size == 0
+            else np.asarray(a, dtype=dtype) for a in arrays]
+
+
 def merge_nodes(node_ids_list):
     """Dedup a list of id arrays into unique ids + per-array inverse indices.
 
@@ -461,6 +474,16 @@ class CSRMat:
             ind_ptr=d["ind_ptr"], end_points=d["end_points"],
             values=d["values"], row_ids=d["row_ids"], col_ids=d["col_ids"],
             multi_link=None if ml.size == 0 else ml)
+
+    def issubmat(self, other) -> bool:
+        """True if every edge of ``self`` exists in ``other`` with the
+        same value (reference ``issubmat``, ``graph.py:757-790``)."""
+        if not (set(self.row_ids.tolist()) <= set(other.row_ids.tolist())
+                and set(self.col_ids.tolist())
+                <= set(other.col_ids.tolist())):
+            return False
+        vals = other.fetch_edges_by_id(self.node_pair_ids)
+        return bool(np.allclose(vals, self.values))
 
     def check_consistency(self):
         """Runtime invariants (reference ``graph.py:751-790``): no duplicate

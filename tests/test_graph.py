@@ -115,6 +115,24 @@ def test_csr_remove_edges(rng):
     out.check_consistency()
 
 
+def test_issubmat_and_empty_as_zero(rng):
+    from stargcn_tpu.graph.csr import NodeIDRMapFast, empty_as_zero
+
+    csr = random_csr(rng)
+    sub = csr.submat_by_id(row_ids=np.array([3, 5], np.int32))
+    assert sub.issubmat(csr)
+    assert not csr.issubmat(sub) or csr.nnz == sub.nnz
+    # tampered value breaks the relation
+    sub2 = CSRMat(sub.ind_ptr, sub.end_points, sub.values + 1.0,
+                  sub.row_ids, sub.col_ids, multi_link=sub.multi_link)
+    assert not sub2.issubmat(csr)
+    out = empty_as_zero([np.array([]), np.array([1, 2])], np.int32)
+    np.testing.assert_array_equal(out[0], [0])
+    np.testing.assert_array_equal(out[1], [1, 2])
+    rmap = NodeIDRMapFast(np.array([5, 9], np.int32))
+    assert rmap[9] == 1
+
+
 def test_csr_fetch_edges(rng):
     csr = random_csr(rng)
     pairs = csr.node_pair_ids[:, :5]
