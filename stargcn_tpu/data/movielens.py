@@ -337,8 +337,9 @@ class LoadData:
                 ids.append(int(p[0])); titles.append(p[1])
                 row = np.zeros(len(genres), np.float32)
                 for g in p[2].split("|"):
-                    row[genre_map[g]] = 1.0 if g in genre_map else row[0]
-                    if g not in genre_map and "unknown" in genre_map:
+                    if g in genre_map:
+                        row[genre_map[g]] = 1.0
+                    elif "unknown" in genre_map:
                         row[genre_map["unknown"]] = 1.0
                 genre_rows.append(row)
         return {"id": np.asarray(ids, np.int32), "title": titles,
