@@ -66,6 +66,44 @@ def test_remove_rating_mask_active():
     assert np.isfinite(float(stats["loss"]))
 
 
+def test_remove_rating_disabled_for_full_batch():
+    """Reference removes batch edges only when the batch is a STRICT
+    subset of the train edges (STAR-GCN.py:594)."""
+    trainer, _ = make_trainer(**{"TRAIN.RATING_BATCH_SIZE": 10 ** 6})
+    assert not trainer.do_remove
+
+
+def test_evaluate_matches_manual_rmse():
+    """evaluate() reproduces a hand-computed RMSE over clipped,
+    denormalised predictions (STAR-GCN.py:490-497)."""
+    trainer, _ = make_trainer()
+    got = trainer.evaluate("valid")
+    it = trainer.data_iter
+    pairs, ratings = it._valid_node_pairs, it._valid_ratings
+    preds = []
+    for b in range(trainer.model_cfg.nblocks):
+        pass
+    # manual: run the model once over all valid pairs
+    import jax
+    import jax.numpy as jnp
+    noise_u = jnp.asarray(it.evaluate_embed_noise_dict["user"])
+    noise_i = jnp.asarray(it.evaluate_embed_noise_dict["movie"])
+    out = trainer.model.apply(
+        {"params": trainer.params}, trainer.graph_data,
+        trainer.edge_masks["valid"], noise_u, noise_i,
+        jnp.asarray(pairs[0]), jnp.asarray(pairs[1]),
+        dense_adj=(trainer.dense_adj["valid"]
+                   if trainer.dense_adj is not None else None),
+        variant_degrees=(trainer.variant_degrees["valid"]
+                         if trainer.variant_degrees is not None else None),
+        train=False)
+    denorm = np.asarray(out["pred_ratings"]) * trainer.rating_std \
+        + trainer.rating_mean
+    clipped = np.clip(denorm, trainer.rating_min, trainer.rating_max)
+    want = np.sqrt(((clipped - ratings[None, :]) ** 2).mean(axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_eval_clipping_bounds():
     trainer, _ = make_trainer()
     rmse = trainer.evaluate("valid")
