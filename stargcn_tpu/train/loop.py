@@ -671,6 +671,9 @@ class Trainer:
         stop_prefetch()
         for lg in loggers.values():
             lg.close()
+        # Crash-safe resume point (the reference has no checkpointing;
+        # model saving is commented out at STAR-GCN.py:685).
+        self.save_checkpoint("last")
         log(f"Best Iter={best_iter}, Best Valid RMSE={best_valid_rmse:.4f}, "
             + (", ".join(f"Best Test RMSE{i}={best_test_rmse[i]:.4f}"
                          for i in range(nb))
