@@ -263,11 +263,7 @@ class Trainer:
             if s.wd:
                 parts.append(optax.add_decayed_weights(s.wd))
             parts.append(optax.scale(-learning_rate))
-            # flatten: moments/updates live in ONE vector — elementwise-
-            # identical numerics, but the Adam update compiles to a few
-            # large fused ops instead of ~2 small DMAs per parameter leaf
-            # (the per-op DMA latency showed up in the device trace).
-            return optax.flatten(optax.chain(*parts))
+            return optax.chain(*parts)
 
         return optax.inject_hyperparams(make)(learning_rate=s.lr)
 
