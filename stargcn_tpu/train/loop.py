@@ -40,7 +40,13 @@ from stargcn_tpu.utils.logging import MetricLogger
 def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
     """'auto' picks the dense MXU backend when the (R, Nu, Ni) support
     tensor is small enough to live in HBM comfortably, else the XLA
-    gather/scatter path."""
+    gather/scatter path.  The 'pallas' ELL kernels serve the SAMPLED
+    mini-batch mode (``models/sampled.py``); for the full-graph model
+    they fall back to 'xla'."""
+    if backend == "pallas":
+        logging.warning("KERNEL.BACKEND 'pallas' applies to the sampled "
+                        "mode; full-graph training uses 'xla'.")
+        return "xla"
     if backend != "auto":
         return backend
     entries = num_links * num_users * num_items
