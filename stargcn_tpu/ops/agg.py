@@ -14,9 +14,13 @@ fuses the gather/scale/scatter chain.  'stack' vs 'sum' accumulation
 
 Backend selection:
   * ``"xla"``   — gather + ``segment_sum`` (default; XLA scatter-add).
-  * ``"dense"`` — per-rating dense support matrices contracted on the MXU;
-    fastest for small graphs (built per step from the edge mask).
-  * ``"pallas"``— hand-written Pallas TPU kernel (ops/pallas_spmm.py).
+  * ``"dense"`` — per-rating dense adjacency contracted on the MXU; the
+    static-adjacency fast path (``scaled_dense_aggregate``) is preferred
+    when the caller pre-builds the variant adjacency, with
+    ``build_dense_support`` kept as the naive per-step fallback/oracle.
+  * the hand-written Pallas ELL kernels (``ops/pallas_kernels.py``)
+    serve the fixed-fanout sampled mode (``models/sampled.py``), not
+    this flat-edge entry point.
 """
 
 from __future__ import annotations
