@@ -161,7 +161,7 @@ def main():
     csr = graph[name_user, name_item]
     model_cfg = build_model_config(
         cfg, num_users=csr.shape[0], num_items=csr.shape[1],
-        num_links=len(csr.multi_link))
+        num_links=len(csr.multi_link), num_edges=csr.nnz)
     if args.coordinator:
         from stargcn_tpu.parallel.mesh import initialize_distributed
 

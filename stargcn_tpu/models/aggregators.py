@@ -52,6 +52,7 @@ class MultiLinkGCNAggregator(nn.Module):
     ordinal_sharing: bool = False
     accum: str = "stack"
     backend: str = "xla"
+    edge_chunk: int | None = None
 
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
@@ -94,7 +95,8 @@ class MultiLinkGCNAggregator(nn.Module):
                 proj, edge_src, edge_dst, edge_rating, support, num_dst,
                 accum=self.accum, backend=self.backend,
                 dense_support=dense_support,
-                dense_transposed=dense_transposed)
+                dense_transposed=dense_transposed,
+                edge_chunk=self.edge_chunk)
         return get_activation(self.act)(out)
 
 

@@ -95,6 +95,7 @@ class HeterGCNLayer(nn.Module):
     accum_self: bool = False
     out_act: Optional[str] = None
     backend: str = "xla"
+    edge_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array],
@@ -117,6 +118,7 @@ class HeterGCNLayer(nn.Module):
                     act=self.agg_act, dropout_rate=self.dropout_rate,
                     ordinal_sharing=self.agg_ordinal_sharing,
                     accum=self.agg_accum, backend=self.backend,
+                    edge_chunk=self.edge_chunk,
                     name=f"agg_{t}_{s}")
                 pooled.append(dropout(agg(
                     features[s], rel.edge_src, rel.edge_dst,

@@ -67,6 +67,9 @@ class STARGCNConfig:
     gen_rating_mid_map: int = 64
     # kernel backend for the aggregation ('xla' | 'dense' | 'pallas')
     backend: str = "xla"
+    # xla backend: edges processed in rematerialised chunks of this size
+    # (bounds the (E, units) message buffer on big graphs); None = all
+    edge_chunk: int | None = None
     # Noise arrays only ever hold -1 (mask) or the node's own id in every
     # reference experiment (recon sampler: iterators.py:339-358; eval
     # noise: iterators.py:228-236), so the masked embed reduces to an
@@ -248,7 +251,8 @@ class STARGCN(nn.Module):
                  dropout_rate=cfg.gcn_dropout,
                  agg_ordinal_sharing=cfg.agg_ordinal_sharing,
                  agg_accum=cfg.agg_accum, agg_act=cfg.activation,
-                 out_act=cfg.activation, backend=cfg.backend)
+                 out_act=cfg.activation, backend=cfg.backend,
+                 edge_chunk=cfg.edge_chunk)
             for au, ou in zip(cfg.agg_units, cfg.out_units)
         ]
         recurrent_depth = (len(cfg.agg_units)

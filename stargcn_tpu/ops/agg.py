@@ -88,6 +88,7 @@ def multi_link_aggregate(
     backend: str = "xla",
     dense_support: jax.Array | None = None,
     dense_transposed: bool = False,
+    edge_chunk: int | None = None,
 ) -> jax.Array:
     """Per-rating-level weighted aggregation into destination nodes.
 
@@ -137,10 +138,34 @@ def multi_link_aggregate(
         flat_proj = proj.reshape(num_links * num_src, units)
         gather_idx = edge_rating * num_src + edge_src
         seg_ids = edge_dst * num_links + edge_rating
-        pooled = gather_weighted_segment_sum(
-            flat_proj, gather_idx, support, seg_ids,
-            num_segments=num_dst * num_links,
-        ).reshape(num_dst, num_links, units)
+        E = edge_src.shape[0]
+        if edge_chunk is not None and edge_chunk < E:
+            # Memory-bounded variant for big graphs: the naive gather
+            # materialises an (E, units) message buffer (10 GB at
+            # ML-10M x 250 units); scanning edge chunks with
+            # rematerialisation keeps only one (chunk, units) buffer
+            # live in forward AND backward.
+            n_chunks = -(-E // edge_chunk)
+            pad = n_chunks * edge_chunk - E
+            gi = jnp.pad(gather_idx, (0, pad)).reshape(n_chunks, -1)
+            si = jnp.pad(seg_ids, (0, pad)).reshape(n_chunks, -1)
+            sw = jnp.pad(support, (0, pad)).reshape(n_chunks, -1)
+
+            @jax.checkpoint
+            def body(acc, chunk):
+                g, s, w = chunk
+                gathered = jnp.take(flat_proj, g, axis=0) * w[:, None]
+                return acc.at[s].add(gathered), None
+
+            acc0 = jnp.zeros((num_dst * num_links, units),
+                             flat_proj.dtype)
+            pooled, _ = jax.lax.scan(body, acc0, (gi, si, sw))
+            pooled = pooled.reshape(num_dst, num_links, units)
+        else:
+            pooled = gather_weighted_segment_sum(
+                flat_proj, gather_idx, support, seg_ids,
+                num_segments=num_dst * num_links,
+            ).reshape(num_dst, num_links, units)
     else:
         raise ValueError(f"unknown backend: {backend!r}")
 

@@ -53,8 +53,24 @@ def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
     return "dense" if entries <= 150_000_000 else "xla"
 
 
-def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
+def resolve_edge_chunk(backend, num_edges, agg_units):
+    """Bound the xla path's (E, units) message buffer to ~1.5 GB by
+    processing edges in rematerialised chunks on big graphs."""
+    if backend != "xla" or not num_edges:
+        return None
+    units = max(agg_units)
+    budget = int(1.5e9)
+    if num_edges * units * 4 <= budget:
+        return None
+    chunk = max(budget // (units * 4), 65536)
+    return (chunk // 65536) * 65536
+
+
+def build_model_config(cfg, num_users, num_items, num_links,
+                       num_edges=None) -> STARGCNConfig:
     """Translate the experiment config tree into a STARGCNConfig."""
+    backend = resolve_backend(cfg.KERNEL.BACKEND, num_links,
+                              num_users, num_items)
     return STARGCNConfig(
         num_users=num_users, num_items=num_items, num_links=num_links,
         use_embed=cfg.MODEL.USE_EMBED,
@@ -75,8 +91,9 @@ def build_model_config(cfg, num_users, num_items, num_links) -> STARGCNConfig:
         agg_ordinal_sharing=cfg.GCN.AGG.get("ORDINAL_SHARING", False),
         out_units=tuple(cfg.GCN.OUT.UNITS),
         gen_rating_mid_map=cfg.GEN_RATING.MID_MAP,
-        backend=resolve_backend(cfg.KERNEL.BACKEND, num_links,
-                                num_users, num_items),
+        backend=backend,
+        edge_chunk=resolve_edge_chunk(backend, num_edges,
+                                      tuple(cfg.GCN.AGG.UNITS)),
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
 

@@ -95,3 +95,25 @@ def test_dense_support_scatter(rng):
     for e in range(E):
         want[er[e], ed[e], es[e]] += sup[e]
     np.testing.assert_allclose(S, want, rtol=1e-6, atol=1e-6)
+
+
+def test_edge_chunked_xla_matches(rng):
+    """Memory-bounded chunked aggregation == unchunked (fwd + grad)."""
+    import jax
+
+    R, NS, ND, E, U = 3, 17, 13, 200, 8
+    es, ed, er, sup = make_edges(rng, NS, ND, R, E)
+    proj = rng.normal(size=(R, NS, U)).astype(np.float32)
+    args = (jnp.asarray(es), jnp.asarray(ed), jnp.asarray(er),
+            jnp.asarray(sup))
+    a = multi_link_aggregate(jnp.asarray(proj), *args, ND, accum="stack",
+                             backend="xla")
+    b = multi_link_aggregate(jnp.asarray(proj), *args, ND, accum="stack",
+                             backend="xla", edge_chunk=64)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda p: multi_link_aggregate(
+        p, *args, ND, accum="sum", backend="xla").sum())(jnp.asarray(proj))
+    gb = jax.grad(lambda p: multi_link_aggregate(
+        p, *args, ND, accum="sum", backend="xla",
+        edge_chunk=64).sum())(jnp.asarray(proj))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-5)
