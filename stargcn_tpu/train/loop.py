@@ -346,14 +346,24 @@ class Trainer:
         return (jax.device_put(ints, bshard), jax.device_put(flts, bshard),
                 *self.shardings.place_replicated(noise, rmask))
 
+    def _train_dense_adj(self):
+        return (self.dense_adj["train"]
+                if self.dense_adj is not None else None)
+
+    def _train_variant_degrees(self):
+        return (self.variant_degrees["train"]
+                if self.variant_degrees is not None else None)
+
     def train_iteration(self, rating_batch, recon_batch):
         """One optimisation step.  Returns device-side stats dict."""
         self._rng_key, step_key = jax.random.split(self._rng_key)
         host = self._prep_host_arrays(rating_batch, recon_batch)
         ints_d, flts_d, noise_d, rmask_d = self._place_step_inputs(*host)
         self.params, self.opt_state, stats = self._train_step(
-            self.params, self.opt_state, ints_d, flts_d, noise_d, rmask_d,
-            step_key)
+            self.params, self.opt_state, self.graph_data,
+            self.edge_masks["train"], self._train_dense_adj(),
+            self._train_variant_degrees(), ints_d, flts_d, noise_d,
+            rmask_d, step_key)
         return stats
 
     def train_chunk(self, rating_batches, recon_batches):
@@ -380,8 +390,10 @@ class Trainer:
             self._scan_step = jax.jit(partial(_scan_train_steps, self),
                                       donate_argnums=(0, 1))
         self.params, self.opt_state, stats = self._scan_step(
-            self.params, self.opt_state, ints_d, flts_d, noise_d, rmask_d,
-            keys)
+            self.params, self.opt_state, self.graph_data,
+            self.edge_masks["train"], self._train_dense_adj(),
+            self._train_variant_degrees(), ints_d, flts_d, noise_d,
+            rmask_d, keys)
         return stats
 
     def prepare_recon_batch(self, embed_noise_dict, recon_ids_dict):
@@ -433,9 +445,9 @@ class Trainer:
             variant_degrees = (self.variant_degrees[seg_key]
                                if self.variant_degrees is not None else None)
             block_sq = self._eval_step(
-                self.params, jnp.asarray(pu), jnp.asarray(pi),
-                jnp.asarray(gt), jnp.asarray(valid), mask, dense_adj,
-                variant_degrees, noise_u, noise_i)
+                self.params, self.graph_data, jnp.asarray(pu),
+                jnp.asarray(pi), jnp.asarray(gt), jnp.asarray(valid),
+                mask, dense_adj, variant_degrees, noise_u, noise_i)
             sq_sum += np.asarray(block_sq)
             cnt += n
         return np.sqrt(sq_sum / max(cnt, 1))
@@ -475,19 +487,20 @@ class Trainer:
             if self.shardings is not None:
                 pu, pi = self.shardings.place_batch(pu, pi)
             preds = self._predict_step(
-                self.params, jnp.asarray(pu), jnp.asarray(pi), mask,
-                dense_adj, variant_degrees, noise_u, noise_i)
+                self.params, self.graph_data, jnp.asarray(pu),
+                jnp.asarray(pi), mask, dense_adj, variant_degrees,
+                noise_u, noise_i)
             out[start:end] = np.asarray(preds)[:end - start]
         return out
 
     @property
     def _predict_step(self):
         if not hasattr(self, "_predict_step_fn"):
-            def step(params, pu, pi, mask, dense_adj, variant_degrees,
+            def step(params, g, pu, pi, mask, dense_adj, variant_degrees,
                      noise_u, noise_i):
                 fu, fi = self.features()
                 out = self.model.apply(
-                    {"params": params}, self.graph_data, mask, noise_u,
+                    {"params": params}, g, mask, noise_u,
                     noise_i, pu, pi, user_features=fu, item_features=fi,
                     dense_adj=dense_adj, variant_degrees=variant_degrees,
                     train=False)
@@ -762,14 +775,18 @@ class Trainer:
 # ------------------------- jitted step functions -----------------------------
 
 
-def _scan_train_steps(trainer, params, opt_state, ints, flts, noise, rmask,
-                      keys):
-    """k fused steps: lax.scan over the single-step body."""
+def _scan_train_steps(trainer, params, opt_state, g, edge_mask, dense_adj,
+                      variant_degrees, ints, flts, noise, rmask, keys):
+    """k fused steps: lax.scan over the single-step body.  The graph
+    arrays ride as loop-invariant traced arguments (NOT closure
+    constants — embedded constants would bloat the serialized program
+    beyond compile-service limits on big graphs)."""
 
     def body(carry, x):
         p, o = carry
         i, f, n, r, key = x
-        p, o, stats = _train_step(trainer, p, o, i, f, n, r, key)
+        p, o, stats = _train_step(trainer, p, o, g, edge_mask, dense_adj,
+                                  variant_degrees, i, f, n, r, key)
         return (p, o), stats
 
     (params, opt_state), stats = jax.lax.scan(
@@ -777,10 +794,10 @@ def _scan_train_steps(trainer, params, opt_state, ints, flts, noise, rmask,
     return params, opt_state, stats
 
 
-def _train_step(trainer, params, opt_state, ints, flts, noise, rmask, rng):
+def _train_step(trainer, params, opt_state, g, edge_mask, dense_adj,
+                variant_degrees, ints, flts, noise, rmask, rng):
     cfg = trainer.model_cfg
     s = trainer.s
-    g = trainer.graph_data
     mean, std = trainer.rating_mean, trainer.rating_std
     fu, fi = trainer.features()
 
@@ -791,11 +808,6 @@ def _train_step(trainer, params, opt_state, ints, flts, noise, rmask, rng):
     recon_mask_u = rmask[:cfg.num_users]
     recon_mask_i = rmask[cfg.num_users:]
 
-    edge_mask = trainer.edge_masks["train"]
-    dense_adj = (trainer.dense_adj["train"]
-                 if trainer.dense_adj is not None else None)
-    variant_degrees = (trainer.variant_degrees["train"]
-                       if trainer.variant_degrees is not None else None)
     removed_pairs = None
     if trainer.do_remove:
         removed_pairs = (pairs_u, pairs_i, rem_hit, rem_rating)
@@ -847,9 +859,8 @@ def _train_step(trainer, params, opt_state, ints, flts, noise, rmask, rng):
     return params, opt_state, stats
 
 
-def _eval_step(trainer, params, pairs_u, pairs_i, gt_ratings, valid,
+def _eval_step(trainer, params, g, pairs_u, pairs_i, gt_ratings, valid,
                edge_mask, dense_adj, variant_degrees, noise_u, noise_i):
-    g = trainer.graph_data
     fu, fi = trainer.features()
     out = trainer.model.apply(
         {"params": params}, g, edge_mask, noise_u, noise_i,
