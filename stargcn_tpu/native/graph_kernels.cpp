@@ -50,7 +50,9 @@ void seed_engines(uint64_t seed) {
 }
 
 std::mt19937& engine_for_thread() {
-  if (g_engines.empty()) seed_engines(0);
+  // NOTE: engines are seeded eagerly at module init (PyInit) and on
+  // set_seed; lazy init here would race when first touched inside an
+  // OpenMP parallel region (observed heap corruption).
 #ifdef _OPENMP
   int tid = omp_get_thread_num() % kMaxEngines;
 #else
@@ -778,5 +780,6 @@ PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_graph_kernels",
 
 PyMODINIT_FUNC PyInit__graph_kernels(void) {
   import_array();
+  seed_engines(0);  // eager: see engine_for_thread()
   return PyModule_Create(&kModule);
 }

@@ -141,6 +141,28 @@ def test_frontier_cap_exceeded_raises(setup):
                        np.arange(10, dtype=np.int32))
 
 
+def test_sampled_trainer_fit_and_eval(setup):
+    """SampledTrainer: prefetch-threaded fit lowers the loss; exact
+    sampled evaluation returns a clipped-range RMSE."""
+    import jax
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    mean, std = float(csr.values.mean()), float(csr.values.std())
+    trainer = SampledTrainer(
+        cfg, g, params, fanout=4, frontier_caps={"user": 64, "item": 64},
+        batch_size=16, rating_mean=mean, rating_std=std,
+        recon_per_batch=4, lr=1e-2, seed=3)
+    losses = trainer.fit(num_steps=40, log=lambda *_: None,
+                         log_interval=5)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+    pairs = csr.node_pair_ids[:, :30]
+    vals = csr.values[:30]
+    rmse = trainer.evaluate_rmse(pairs, vals, batch_size=16)
+    assert 0 <= rmse <= float(csr.values.max() - csr.values.min())
+
+
 def test_sampled_pallas_backend_matches(setup):
     g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
     plan = StackedPlan.build(g, cfg, pu, pi, fanout=-1, node_pad=32)
