@@ -50,6 +50,9 @@ def main():
                              "--process_id")
     parser.add_argument("--num_processes", default=None, type=int)
     parser.add_argument("--process_id", default=None, type=int)
+    parser.add_argument("--resume", default=None, type=str,
+                        help="restore params + optimizer state from a "
+                             "checkpoint (.msgpack) before training")
     args = parser.parse_args()
 
     if args.platform:
@@ -176,6 +179,9 @@ def main():
     trainer = Trainer(model_cfg, data_iter,
                       TrainSettings.from_cfg(cfg),
                       save_dir=save_dir, save_id=save_id, mesh=mesh)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        logging.info("resumed from %s", args.resume)
     if args.profile:
         from stargcn_tpu.utils.profiling import trace
 
