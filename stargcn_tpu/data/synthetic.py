@@ -130,6 +130,36 @@ def write_ml1m_format(dirname, num_users=40, num_items=25, num_edges=900,
                     "::978300760\n")
 
 
+def write_ml10m_format(dirname, num_users=30, num_items=20, num_edges=500,
+                       seed=0):
+    """Write a tiny dataset in exact ml-10m file format (no users.dat;
+    half-star ratings; IMAX genre present)."""
+    from stargcn_tpu.data.movielens import GENRES_ML_10M
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirname, exist_ok=True)
+    with open(os.path.join(dirname, "movies.dat"), "w") as f:
+        for mid in range(1, num_items + 1):
+            genres = "|".join(
+                rng.choice(GENRES_ML_10M, rng.randint(1, 3), replace=False))
+            f.write(f"{mid}::Movie {mid} ({rng.randint(1950, 2005)})"
+                    f"::{genres}\n")
+    users, items, _ = synthetic_ratings(num_users, num_items, num_edges,
+                                        seed=seed)
+    users = np.concatenate([users, np.arange(num_users),
+                            rng.randint(0, num_users, num_items)])
+    items = np.concatenate([items, rng.randint(0, num_items, num_users),
+                            np.arange(num_items)])
+    keys = users.astype(np.int64) * num_items + items
+    _, first = np.unique(keys, return_index=True)
+    first = np.sort(first)
+    half_stars = np.asarray([0.5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5, 5])
+    with open(os.path.join(dirname, "ratings.dat"), "w") as f:
+        for j in first:
+            v = half_stars[rng.randint(10)]
+            f.write(f"{users[j] + 1}::{items[j] + 1}::{v}::978300760\n")
+
+
 def write_ml100k_format(dirname, num_users=50, num_items=30, num_edges=1200,
                         seed=0):
     """Write a tiny dataset in exact ml-100k file format (u.user, u.item,

@@ -75,6 +75,21 @@ def test_load_data_ml1m_format(tmp_path):
         g.fetch_edges_by_id("user", "movie", vp), vv)
 
 
+def test_load_data_ml10m_format(tmp_path):
+    from stargcn_tpu.data.synthetic import write_ml10m_format
+
+    write_ml10m_format(str(tmp_path / "ml-10M100K"))
+    data = LoadData("ml-10m", root=str(tmp_path), seed=7, test_ratio=0.2,
+                    val_ratio=0.1)
+    g = data.graph
+    g.check_continous_node_ids()
+    # ml-10m: no user file -> single-zero user features; half-star ratings
+    assert data.user_features.shape[1] == 1
+    assert np.all(data.user_features == 0)
+    assert data.item_features.shape[1] == 300 + 1 + 19  # 18 + IMAX
+    assert len(data.uniq_ratings) > 5  # half-star levels present
+
+
 def test_data_iterator_transductive(rng):
     g = synthetic_graph(num_users=30, num_items=40, num_edges=400, seed=1)
     csr = g["user", "movie"]
