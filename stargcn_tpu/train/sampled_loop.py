@@ -63,8 +63,14 @@ class SampledTrainer:
         self.noise_i = jnp.arange(model_cfg.num_items, dtype=jnp.int32)
 
     def _make_batch(self):
-        sel = self._rng.choice(self._pairs.shape[1], self.batch_size,
-                               replace=False)
+        """Host-only batch construction (NO device transfers here: this
+        runs in the prefetch thread, and device ops from a non-main
+        thread serialize pathologically on some runtimes — convert with
+        ``as_device()`` on the consumer side)."""
+        n = self._pairs.shape[1]
+        # with-replacement draw: O(B) instead of an O(E) permutation per
+        # batch (duplicates are ~B/E rare at scale)
+        sel = self._rng.randint(0, n, self.batch_size)
         bu, bi = self._pairs[0, sel], self._pairs[1, sel]
         gt = self._values[sel]
         r = self.recon_per_batch
@@ -73,7 +79,7 @@ class SampledTrainer:
             frontier_caps=self.caps, sampler=self.sampler,
             recon_user_ids=bu[:r] if r else None,
             recon_item_ids=bi[:r] if r else None)
-        return plan.as_device(), jnp.asarray(gt)
+        return plan, gt
 
     def fit(self, num_steps: int, log=logging.info, log_interval: int = 10):
         """Train with one-plan-ahead background prefetching."""
@@ -96,11 +102,12 @@ class SampledTrainer:
         try:
             valid = jnp.ones(self.batch_size, jnp.float32)
             for it in range(1, num_steps + 1):
-                dplan, gt = q.get()
+                plan, gt = q.get()
+                dplan = plan.as_device()
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, stats = self.step_fn(
                     self.params, self.opt_state, dplan, self.noise_u,
-                    self.noise_i, gt, valid, sub)
+                    self.noise_i, jnp.asarray(gt), valid, sub)
                 if it % log_interval == 0:
                     loss = float(stats["loss"])
                     losses.append(loss)
