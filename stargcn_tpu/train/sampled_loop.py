@@ -81,28 +81,38 @@ class SampledTrainer:
             recon_item_ids=bi[:r] if r else None)
         return plan, gt
 
-    def fit(self, num_steps: int, log=logging.info, log_interval: int = 10):
-        """Train with one-plan-ahead background prefetching."""
-        q: queue.Queue = queue.Queue(maxsize=2)
+    def fit(self, num_steps: int, log=logging.info, log_interval: int = 10,
+            prefetch: bool = True):
+        """Train, optionally with one-plan-ahead background prefetching.
+
+        The plan builder is many small numpy/Python ops that hold the
+        GIL, so prefetching only pays when the device step is long
+        relative to plan building; measure both on your graph.
+        """
         stop = threading.Event()
+        if prefetch:
+            q: queue.Queue = queue.Queue(maxsize=2)
 
-        def producer():
-            while not stop.is_set():
-                item = self._make_batch()
+            def producer():
                 while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                    item = self._make_batch()
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
+            thread = threading.Thread(target=producer, daemon=True)
+            thread.start()
+            next_batch = q.get
+        else:
+            next_batch = self._make_batch
         losses = []
         try:
             valid = jnp.ones(self.batch_size, jnp.float32)
             for it in range(1, num_steps + 1):
-                plan, gt = q.get()
+                plan, gt = next_batch()
                 dplan = plan.as_device()
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, stats = self.step_fn(
