@@ -301,3 +301,58 @@ def test_dense_backend_matches_xla(small_setup):
     np.testing.assert_allclose(out_xla["pred_ratings"],
                                out_dense["pred_ratings"], rtol=2e-4,
                                atol=2e-4)
+
+
+def test_heter_layer_accum_self_and_layer_accum(rng):
+    """accum_self adds a self-projection (layers.py:130-141); layer_accum
+    stack/sum combine across relations."""
+    from stargcn_tpu.models.layers import HeterGCNLayer, Relation
+
+    n_u, n_i, R, E = 9, 7, 2, 30
+    es = jnp.asarray(rng.randint(0, n_i, E), jnp.int32)
+    ed = jnp.asarray(rng.randint(0, n_u, E), jnp.int32)
+    er = jnp.asarray(rng.randint(0, R, E), jnp.int32)
+    sup = jnp.asarray(rng.uniform(0.1, 1, E).astype(np.float32))
+    rels = {
+        ("user", "item"): Relation(es, ed, er, sup, num_links=R),
+        ("item", "user"): Relation(ed, es, er, sup, num_links=R),
+    }
+    feats = {"user": jnp.asarray(rng.normal(size=(n_u, 5)).astype(np.float32)),
+             "item": jnp.asarray(rng.normal(size=(n_i, 5)).astype(np.float32))}
+    for layer_accum in ("stack", "sum"):
+        # 'sum' requires the self-projection dim (out_units) to equal the
+        # aggregator dim (agg_units) — same implicit constraint as the
+        # reference's add_n over [agg_out, self_fc_out] (layers.py:180).
+        agg_u = 6 if layer_accum == "stack" else 4
+        layer = HeterGCNLayer(
+            meta={"user": ["item"], "item": ["user"]},
+            agg_units=agg_u, out_units=4, agg_accum="sum",
+            accum_self=True, layer_accum=layer_accum,
+            agg_act="leaky", out_act="leaky")
+        params = layer.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            feats, rels, train=False)["params"]
+        assert "self_fc_user" in params  # self projection exists
+        out = layer.apply({"params": params}, feats, rels, train=False)
+        assert out["user"].shape == (n_u, 4)
+        assert out["item"].shape == (n_i, 4)
+        assert np.all(np.isfinite(out["user"]))
+
+
+def test_gcn_aggregator_single_link(rng):
+    """GCNAggregator == MultiLink with num_links=1 (aggregators.py:21-55)."""
+    from stargcn_tpu.models.aggregators import GCNAggregator
+
+    n_s, n_d, E = 8, 6, 20
+    es = jnp.asarray(rng.randint(0, n_s, E), jnp.int32)
+    ed = jnp.asarray(rng.randint(0, n_d, E), jnp.int32)
+    sup = jnp.asarray(rng.uniform(0.1, 1, E).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n_s, 5)).astype(np.float32))
+    agg = GCNAggregator(units=4, act="relu")
+    params = agg.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      x, es, ed, sup, n_d, train=False)["params"]
+    out = agg.apply({"params": params}, x, es, ed, sup, n_d, train=False)
+    assert out.shape == (n_d, 4)
+    assert np.all(out >= 0)  # relu
