@@ -283,7 +283,9 @@ class DataIterator:
             while True:
                 batch_ids = {}
                 for key, ids in recon_ids_dict.items():
-                    if curr[key] > ids.size:
+                    if curr[key] >= ids.size:
+                        # exhausted: slicing past the end would yield a
+                        # spurious empty batch
                         continue
                     batch_ids[key] = ids[curr[key]:curr[key] + batch_size]
                     curr[key] += batch_size

@@ -19,6 +19,11 @@ except ImportError:  # pragma: no cover
     _native = None
 
 _seed_state = {"seed": 0}
+# Persistent fallback stream: ADVANCES across calls (recreated only by
+# set_seed), matching the native engines' statefulness.  A fresh
+# RandomState per call would silently return identical "random" draws
+# every step.
+_fallback_rng = np.random.RandomState(0)
 
 
 def has_native() -> bool:
@@ -27,10 +32,21 @@ def has_native() -> bool:
 
 def set_seed(seed: int) -> None:
     """Seed the native sampler engines (reference ``py_ext.cpp`` ``set_seed``
-    → 128 seeded mt19937 engines, ``graph_sampler.h:176-202``)."""
+    → 128 seeded mt19937 engines, ``graph_sampler.h:176-202``) and the
+    NumPy fallback stream."""
+    global _fallback_rng
     _seed_state["seed"] = int(seed)
+    _fallback_rng = np.random.RandomState(int(seed) & 0xFFFFFFFF)
     if _native is not None:
         _native.set_seed(int(seed))
+
+
+def _rng(seed=None):
+    """Fallback RNG: the persistent advancing stream, or a one-shot
+    deterministic stream when an explicit ``seed`` is given."""
+    if seed is None:
+        return _fallback_rng
+    return np.random.RandomState(int(seed) & 0xFFFFFFFF)
 
 
 def unique_inverse(arr: np.ndarray):
@@ -212,10 +228,11 @@ def random_sample_fix_neighbor(ind_ptr, sel_indices, num_neighbors,
     ind_ptr = np.ascontiguousarray(ind_ptr, dtype=np.int32)
     sel_indices = np.ascontiguousarray(sel_indices, dtype=np.int32)
     if _native is not None:
+        if seed is not None:  # reseeds the shared native engines
+            _native.set_seed(int(seed))
         return _native.random_sample_fix_neighbor(ind_ptr, sel_indices,
                                                   int(num_neighbors))
-    rng = np.random.RandomState(
-        _seed_state["seed"] if seed is None else seed)
+    rng = _rng(seed)
     degs = ind_ptr[sel_indices + 1] - ind_ptr[sel_indices]
     if num_neighbors < 0:
         take = degs
@@ -246,7 +263,7 @@ def random_walk(end_points, ind_ptr, initial_node=-1, walk_length=100,
         return _native.random_walk(end_points, ind_ptr, int(initial_node),
                                    int(walk_length), float(return_prob),
                                    int(max_node_num), int(max_edge_num))
-    rng = np.random.RandomState(_seed_state["seed"])
+    rng = _rng()
     node_num = ind_ptr.size - 1
     if initial_node < 0:
         initial_node = rng.randint(node_num)
@@ -283,7 +300,7 @@ def get_random_walk_nodes(end_points, ind_ptr, initial_node,
         return _native.get_random_walk_nodes(
             end_points, ind_ptr, int(initial_node), int(max_node_num),
             int(walk_length))
-    rng = np.random.RandomState(_seed_state["seed"])
+    rng = _rng()
     seen = [int(initial_node)]
     seen_set = {int(initial_node)}
     cur = int(initial_node)
@@ -312,7 +329,7 @@ def uniform_neg_sampling(end_points, ind_ptr, target_indices, node_num,
         return _native.uniform_neg_sampling(
             end_points, ind_ptr, target_indices, int(node_num),
             float(neg_sample_scale), int(replace))
-    rng = np.random.RandomState(_seed_state["seed"])
+    rng = _rng()
     out_ep, out_label, out_cnt = [], [], []
     out_ptr = [0]
     for ind in target_indices:
@@ -359,7 +376,7 @@ def random_sel_neighbor_and_merge(end_points, ind_ptr, node_ids,
     if _native is not None:
         return _native.random_sel_neighbor_and_merge(
             end_points, ind_ptr, node_ids, sel_indices, int(num_neighbors))
-    rng = np.random.RandomState(_seed_state["seed"])
+    rng = _rng()
     merged, merged_map = [], {}
 
     def intern(nid):

@@ -134,6 +134,26 @@ PyObject* make_f32(const std::vector<float>& v) {
   return arr;
 }
 
+// Build a tuple that STEALS the element references (PyTuple_Pack would
+// increment them, leaking every freshly created array — each call site
+// here passes new references).  Null elements (allocation failure)
+// propagate as an error with everything released.
+PyObject* pack_steal(std::initializer_list<PyObject*> items) {
+  bool ok = true;
+  for (PyObject* it : items) ok = ok && (it != nullptr);
+  PyObject* tup = ok ? PyTuple_New(static_cast<Py_ssize_t>(items.size()))
+                     : nullptr;
+  if (!tup) {
+    for (PyObject* it : items) Py_XDECREF(it);
+    if (ok) return nullptr;            // PyTuple_New already set the error
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return nullptr;
+  }
+  Py_ssize_t i = 0;
+  for (PyObject* it : items) PyTuple_SET_ITEM(tup, i++, it);
+  return tup;
+}
+
 // ------------------------- exported functions -------------------------
 
 PyObject* py_set_seed(PyObject*, PyObject* args) {
@@ -166,9 +186,7 @@ PyObject* py_unique_inverse(PyObject*, PyObject* args) {
     }
   }
   Py_DECREF(a.arr);
-  PyObject* u = make_i32(uniq);
-  PyObject* inv = make_i32(inverse);
-  return PyTuple_Pack(2, u, inv);
+  return pack_steal({make_i32(uniq), make_i32(inverse)});
 }
 
 PyObject* py_unique_cnt(PyObject*, PyObject* args) {
@@ -191,9 +209,7 @@ PyObject* py_unique_cnt(PyObject*, PyObject* args) {
     }
   }
   Py_DECREF(a.arr);
-  PyObject* u = make_i32(uniq);
-  PyObject* c = make_i32(cnt);
-  return PyTuple_Pack(2, u, c);
+  return pack_steal({make_i32(uniq), make_i32(cnt)});
 }
 
 // Parallel 1-D gather (reference take_1d_omp).
@@ -382,10 +398,7 @@ PyObject* py_csr_submat(PyObject*, PyObject* args) {
     }
   }
   Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(ri.arr); Py_DECREF(ci.arr);
-  PyObject* a = make_i32(new_ptr);
-  PyObject* b = make_i32(new_ep);
-  PyObject* c = make_i64(edge_idx);
-  return PyTuple_Pack(3, a, b, c);
+  return pack_steal({make_i32(new_ptr), make_i32(new_ep), make_i64(edge_idx)});
 }
 
 // Partition edges by rating value (reference multi_link_split_impl,
@@ -423,11 +436,22 @@ PyObject* py_multi_link_split(PyObject*, PyObject* args) {
   Py_DECREF(v.arr); Py_DECREF(p.arr); Py_DECREF(ml.arr);
   PyObject* sel_list = PyList_New(R);
   PyObject* ptr_list = PyList_New(R);
-  for (int r = 0; r < R; ++r) {
-    PyList_SET_ITEM(sel_list, r, make_i32(sel[r]));
-    PyList_SET_ITEM(ptr_list, r, make_i32(ptrs[r]));
+  if (!sel_list || !ptr_list) {
+    Py_XDECREF(sel_list); Py_XDECREF(ptr_list);
+    return nullptr;
   }
-  return PyTuple_Pack(2, sel_list, ptr_list);
+  for (int r = 0; r < R; ++r) {
+    PyObject* s = make_i32(sel[r]);
+    PyObject* q = make_i32(ptrs[r]);
+    if (!s || !q) {
+      Py_XDECREF(s); Py_XDECREF(q);
+      Py_DECREF(sel_list); Py_DECREF(ptr_list);
+      return nullptr;
+    }
+    PyList_SET_ITEM(sel_list, r, s);
+    PyList_SET_ITEM(ptr_list, r, q);
+  }
+  return pack_steal({sel_list, ptr_list});
 }
 
 // Fixed-fanout sampling without replacement (reference
@@ -476,9 +500,7 @@ PyObject* py_sample_fix_neighbor(PyObject*, PyObject* args) {
     }
   }
   Py_DECREF(p.arr); Py_DECREF(sel.arr);
-  PyObject* a = make_i64(out);
-  PyObject* b = make_i32(new_ptr);
-  return PyTuple_Pack(2, a, b);
+  return pack_steal({make_i64(out), make_i32(new_ptr)});
 }
 
 // Edge deletion producing a new indptr + keep mask (reference remove_edges,
@@ -510,8 +532,7 @@ PyObject* py_remove_edges(PyObject*, PyObject* args) {
             static_cast<uint8_t*>(PyArray_DATA(
                 reinterpret_cast<PyArrayObject*>(keep_obj))));
   Py_DECREF(p.arr); Py_DECREF(rm);
-  PyObject* a = make_i32(new_ptr);
-  return PyTuple_Pack(2, a, keep_obj);
+  return pack_steal({make_i32(new_ptr), keep_obj});
 }
 
 // KDD'06-style random walk returning the visited edge list (reference
@@ -563,9 +584,7 @@ PyObject* py_random_walk(PyObject*, PyObject* args) {
     cur = nxt;
   }
   Py_DECREF(ep.arr); Py_DECREF(p.arr);
-  PyObject* a = make_i32(src);
-  PyObject* b = make_i32(dst);
-  return PyTuple_Pack(2, a, b);
+  return pack_steal({make_i32(src), make_i32(dst)});
 }
 
 // Visited-node collection along a plain random walk (reference
@@ -669,11 +688,8 @@ PyObject* py_uniform_neg_sampling(PyObject*, PyObject* args) {
     out_ptr[i + 1] = static_cast<int32_t>(out_ep.size());
   }
   Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(tgt.arr);
-  PyObject* a = make_i32(out_ep);
-  PyObject* b = make_i32(out_ptr);
-  PyObject* c = make_i32(out_label);
-  PyObject* d = make_i32(out_cnt);
-  return PyTuple_Pack(4, a, b, c, d);
+  return pack_steal({make_i32(out_ep), make_i32(out_ptr),
+                     make_i32(out_label), make_i32(out_cnt)});
 }
 
 // Sample fixed-fanout neighbors of selected nodes and merge them (plus
@@ -734,11 +750,8 @@ PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
   }
   Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(ids.arr);
   Py_DECREF(sel.arr);
-  PyObject* a = make_i32(dst_ep);
-  PyObject* b = make_i32(dst_ptr);
-  PyObject* c = make_i32(merged_ids);
-  PyObject* d = make_i32(sel_in_merged);
-  return PyTuple_Pack(4, a, b, c, d);
+  return pack_steal({make_i32(dst_ep), make_i32(dst_ptr),
+                     make_i32(merged_ids), make_i32(sel_in_merged)});
 }
 
 PyMethodDef kMethods[] = {
