@@ -53,6 +53,10 @@ def main():
     parser.add_argument("--resume", default=None, type=str,
                         help="restore params + optimizer state from a "
                              "checkpoint (.msgpack) before training")
+    parser.add_argument("--num_neighbors", default=None, type=int,
+                        help="override GRAPH_SAMPLER.NUM_NEIGHBORS "
+                             "(> 0 selects the sampled mini-batch "
+                             "trainer; -1 = full-graph)")
     args = parser.parse_args()
 
     if args.platform:
@@ -87,6 +91,8 @@ def main():
         cfg.TRAIN.MAX_ITER = args.max_iter
     if args.backend is not None:
         cfg.KERNEL.BACKEND = args.backend
+    if args.num_neighbors is not None:
+        cfg.GRAPH_SAMPLER.NUM_NEIGHBORS = args.num_neighbors
     if args.mesh is not None:
         d, m = (int(x) for x in args.mesh.lower().split("x"))
         cfg.PARALLEL.DATA_AXIS = d
@@ -176,9 +182,22 @@ def main():
 
         mesh = make_mesh(data=cfg.PARALLEL.DATA_AXIS,
                          model=cfg.PARALLEL.MODEL_AXIS)
-    trainer = Trainer(model_cfg, data_iter,
-                      TrainSettings.from_cfg(cfg),
-                      save_dir=save_dir, save_id=save_id, mesh=mesh)
+    fanout = int(cfg.GRAPH_SAMPLER.NUM_NEIGHBORS)
+    if fanout > 0:
+        # Sampled mini-batch mode (reference gen_plan/heter_sage path,
+        # selected by GRAPH_SAMPLER.NUM_NEIGHBORS > 0, STAR-GCN.py:57).
+        from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+        assert mesh is None, \
+            "sampled mode is single-chip; drop --mesh or use fanout -1"
+        trainer = SampledTrainer(
+            model_cfg, data_iter, TrainSettings.from_cfg(cfg),
+            fanout=fanout, save_dir=save_dir, save_id=save_id,
+            name_user=name_user, name_item=name_item)
+    else:
+        trainer = Trainer(model_cfg, data_iter,
+                          TrainSettings.from_cfg(cfg),
+                          save_dir=save_dir, save_id=save_id, mesh=mesh)
     if args.resume:
         trainer.restore_checkpoint(args.resume)
         logging.info("resumed from %s", args.resume)

@@ -210,6 +210,30 @@ class DataIterator:
     def train_ratings(self):
         return self._train_ratings
 
+    @property
+    def embed_P_mask(self):
+        return self._embed_P_mask
+
+    @property
+    def recon_train_candidates(self):
+        return self._recon_train_candidates
+
+    @property
+    def valid_node_pairs(self):
+        return self._valid_node_pairs
+
+    @property
+    def valid_ratings(self):
+        return self._valid_ratings
+
+    @property
+    def test_node_pairs(self):
+        return self._test_node_pairs
+
+    @property
+    def test_ratings(self):
+        return self._test_ratings
+
     # ------------------------------ samplers --------------------------------
 
     def rating_sampler(self, batch_size, segment="train", sequential=None):

@@ -89,9 +89,39 @@ class BlockSampler:
             t: np.searchsorted(self._csr[t].multi_link,
                                self._csr[t].values).astype(np.int32)
             for t in ("user", "item")}
+        self._row_deg = {t: np.asarray(self._csr[t].row_degrees, np.int64)
+                         for t in ("user", "item")}
+        self._col_deg = {t: np.asarray(self._csr[t].col_degrees, np.int64)
+                         for t in ("user", "item")}
+        self._num_items_global = self._csr["user"].shape[1]
 
-    def sample(self, target_user_ids, target_item_ids) -> SampledBlocks:
-        """Top-down frontier construction, bottom-up ELL blocks."""
+    def removal_args(self, batch_user_ids, batch_item_ids):
+        """Precompute ``(exclude_keys, removal_counts)`` for
+        REMOVE_RATING semantics (``STAR-GCN.py:595-600``): the batch
+        pairs' edges are dropped from every sampled neighborhood AND the
+        degree normalisation is recomputed as if those edges were
+        removed — matching the reference's per-iteration
+        ``remove_edges_by_id`` + ``get_support`` on the reduced graph.
+        """
+        bu = self._csr["user"].row_id_to_ind(
+            np.asarray(batch_user_ids, np.int32))
+        bi = self._csr["item"].row_id_to_ind(
+            np.asarray(batch_item_ids, np.int32))
+        keys = np.sort(bu.astype(np.int64) * self._num_items_global + bi)
+        rem = {"user": np.bincount(bu, minlength=self._row_deg["user"].size)
+               .astype(np.int64),
+               "item": np.bincount(bi, minlength=self._row_deg["item"].size)
+               .astype(np.int64)}
+        return keys, rem
+
+    def sample(self, target_user_ids, target_item_ids,
+               exclude_keys=None, removal_counts=None) -> SampledBlocks:
+        """Top-down frontier construction, bottom-up ELL blocks.
+
+        ``exclude_keys``/``removal_counts`` (from ``removal_args``)
+        implement per-batch edge removal: excluded edges get zero
+        support, and supports are recomputed from the removal-adjusted
+        degrees."""
         frontier = {"user": np.asarray(target_user_ids, np.int32),
                     "item": np.asarray(target_item_ids, np.int32)}
         target_pos = {
@@ -109,8 +139,39 @@ class BlockSampler:
                 # is the other type's next frontier contribution
                 sampled_idx, ptr = K.random_sample_fix_neighbor(
                     csr.ind_ptr, sel.astype(np.int32), self.fanout)
-                nbr_ids = csr.col_ids[csr.end_points[sampled_idx]]
-                sup = self._support[t][sampled_idx]
+                nbr_inds = csr.end_points[sampled_idx]
+                nbr_ids = csr.col_ids[nbr_inds]
+                if removal_counts is None:
+                    sup = self._support[t][sampled_idx]
+                else:
+                    # support from removal-adjusted degrees (the
+                    # reference recomputes get_support on the
+                    # edge-removed graph, graph.py:414-429)
+                    rows = np.repeat(sel, np.diff(ptr))
+                    dr = (self._row_deg[t][rows]
+                          - removal_counts[t][rows]).astype(np.float64)
+                    if self.symm:
+                        dc = (self._col_deg[t][nbr_inds]
+                              - removal_counts[other][nbr_inds]
+                              ).astype(np.float64)
+                        denom = dr * dc
+                        sup = np.where(denom > 0,
+                                       1.0 / np.sqrt(np.maximum(denom, 1)),
+                                       0.0).astype(np.float32)
+                    else:
+                        sup = np.where(dr > 0,
+                                       1.0 / np.maximum(dr, 1),
+                                       0.0).astype(np.float32)
+                if exclude_keys is not None and exclude_keys.size:
+                    rows = np.repeat(sel, np.diff(ptr))
+                    ni_g = self._num_items_global
+                    if t == "user":
+                        keys = rows.astype(np.int64) * ni_g + nbr_inds
+                    else:
+                        keys = nbr_inds.astype(np.int64) * ni_g + rows
+                    pos = np.searchsorted(exclude_keys, keys)
+                    pos = np.clip(pos, 0, exclude_keys.size - 1)
+                    sup = np.where(exclude_keys[pos] == keys, 0.0, sup)
                 rat = self._rating_idx[t][sampled_idx]
                 blocks[t] = (nbr_ids, ptr, sup, rat)
                 prev[other] = nbr_ids

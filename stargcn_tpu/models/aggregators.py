@@ -57,7 +57,8 @@ class MultiLinkGCNAggregator(nn.Module):
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
                  num_dst, *, train: bool = False, dense_support=None,
-                 dense_transposed: bool = False, dense_static=None):
+                 dense_transposed: bool = False, dense_static=None,
+                 ell_static=None):
         if self.accum == "stack":
             assert self.units % self.num_links == 0, (
                 "units must be divisible by num_links for 'stack'")
@@ -73,6 +74,16 @@ class MultiLinkGCNAggregator(nn.Module):
             "bias", nn.initializers.zeros, (self.num_links, link_units))
 
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x_src)
+        if ell_static is not None:
+            # Chunked-ELL sparse path (big graphs): aggregates the raw
+            # features per rating and projects afterwards — linear-
+            # equivalent to project-then-pool (ops/chunked_ell.py).
+            from stargcn_tpu.ops.chunked_ell import ell_multi_link_aggregate
+
+            out = ell_multi_link_aggregate(
+                x, ell_static, weight, bias,
+                ordinal_sharing=self.ordinal_sharing, accum=self.accum)
+            return get_activation(self.act)(out)
         proj = multi_link_project(x, weight, bias,
                                   ordinal_sharing=self.ordinal_sharing)
         if dense_static is not None:

@@ -44,6 +44,33 @@ class DenseStatic:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class EllStatic:
+    """Chunked-ELL aggregation operands for one direction (see
+    ``ops.chunked_ell``): static per-variant index arrays for the forward
+    (``f_*``, rows = dst nodes) and transpose (``b_*``, rows = src nodes,
+    drives the custom-vjp backward) directions, separable degree-scale
+    vectors, and optional removed-batch-edge correction arrays."""
+
+    f_idx: jax.Array                    # (V, K) int32, pad -> num_src
+    f_rat: jax.Array                    # (V, K) int32
+    f_row: jax.Array                    # (V,) int32 sorted dst rows
+    b_idx: jax.Array                    # (V', K') transpose arrays
+    b_rat: jax.Array
+    b_row: jax.Array
+    dst_scale: jax.Array                # (num_dst,)
+    src_scale: jax.Array                # (num_src,)
+    rem_src: jax.Array | None = None    # (B,) removed-edge arrays
+    rem_dst: jax.Array | None = None
+    rem_rating: jax.Array | None = None
+    rem_weight: jax.Array | None = None
+    chunk: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    bf16: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Relation:
     """Directed edge arrays for one (target <- neighbor) relation.
 
@@ -66,6 +93,8 @@ class Relation:
         default=False, metadata=dict(static=True))
     # Static-adjacency fast path (preferred when available).
     dense_static: DenseStatic | None = None
+    # Chunked-ELL sparse fast path for big graphs (ops/chunked_ell.py).
+    ell_static: EllStatic | None = None
 
 
 class HeterGCNLayer(nn.Module):
@@ -126,7 +155,8 @@ class HeterGCNLayer(nn.Module):
                     num_dst=features[t].shape[0], train=train,
                     dense_support=rel.dense_support,
                     dense_transposed=rel.dense_transposed,
-                    dense_static=rel.dense_static)))
+                    dense_static=rel.dense_static,
+                    ell_static=rel.ell_static)))
             if self.accum_self:
                 h = dropout(features[t])
                 h = nn.Dense(out_units[t], kernel_init=xavier_in,

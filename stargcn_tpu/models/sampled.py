@@ -50,7 +50,7 @@ class StackedPlan:
     def build(graph, cfg, pairs_user, pairs_item, fanout=-1,
               node_pad=128, name_user="user", name_item="movie",
               recon_user_ids=None, recon_item_ids=None, seed=None,
-              frontier_caps=None, sampler=None):
+              frontier_caps=None, sampler=None, exclude_pairs=None):
         """Top-down planning across blocks (``STAR-GCN.py:372-397``):
         block b's targets = rating-pair nodes (+ recon nodes) + the
         bottom frontier required by block b+1.
@@ -59,6 +59,12 @@ class StackedPlan:
         constructor precomputes support/rating arrays over ALL edges
         (seconds on a 10M-edge graph) while per-batch sampling is
         ~100x cheaper.
+
+        ``exclude_pairs=(batch_user_ids, batch_item_ids)`` implements
+        REMOVE_RATING (``STAR-GCN.py:595-600``): those edges are dropped
+        from every sampled neighborhood and supports are recomputed from
+        the removal-adjusted degrees — without them, each target pair's
+        own rating leaks into the features predicting it.
         """
         if seed is not None:
             K.set_seed(seed)
@@ -69,6 +75,9 @@ class StackedPlan:
                 symm=cfg.agg_norm_symm, node_pad=node_pad,
                 name_user=name_user, name_item=name_item,
                 frontier_caps=frontier_caps)
+        exclude_keys = removal = None
+        if exclude_pairs is not None:
+            exclude_keys, removal = sampler.removal_args(*exclude_pairs)
         base_u = np.unique(np.asarray(pairs_user, np.int32))
         base_i = np.unique(np.asarray(pairs_item, np.int32))
         recon_ids = {
@@ -79,13 +88,18 @@ class StackedPlan:
                      if recon_item_ids is not None
                      else np.zeros(0, np.int32)),
         }
-        base_u = np.union1d(base_u, recon_ids["user"])
-        base_i = np.union1d(base_i, recon_ids["item"])
+        # -1 recon slots are padding (fixed-shape recon batches)
+        base_u = np.union1d(base_u,
+                            recon_ids["user"][recon_ids["user"] >= 0])
+        base_i = np.union1d(base_i,
+                            recon_ids["item"][recon_ids["item"] >= 0])
 
         chains = []
         tgt_u, tgt_i = base_u, base_i
         for _ in range(cfg.nblocks):
-            blocks = sampler.sample(tgt_u, tgt_i)
+            blocks = sampler.sample(tgt_u, tgt_i,
+                                    exclude_keys=exclude_keys,
+                                    removal_counts=removal)
             chains.append(blocks)
             f0 = blocks.frontiers[0]
             tgt_u = np.union1d(base_u, f0["user"][f0["user"] >= 0])

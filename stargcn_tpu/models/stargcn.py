@@ -65,11 +65,18 @@ class STARGCNConfig:
     out_units: tuple = (75,)
     # GEN_RATING.*
     gen_rating_mid_map: int = 64
-    # kernel backend for the aggregation ('xla' | 'dense' | 'pallas')
+    # kernel backend for the aggregation
+    # ('xla' | 'dense' | 'ell' | 'pallas')
     backend: str = "xla"
     # xla backend: edges processed in rematerialised chunks of this size
     # (bounds the (E, units) message buffer on big graphs); None = all
     edge_chunk: int | None = None
+    # ell backend (ops/chunked_ell.py): virtual-row width K (host
+    # packing), rematerialised row-chunk size (bounds the gather buffer)
+    # and bf16 gather/contract toggle.
+    ell_k: int = 64
+    ell_chunk: int | None = 16384
+    ell_bf16: bool = False
     # Noise arrays only ever hold -1 (mask) or the node's own id in every
     # reference experiment (recon sampler: iterators.py:339-358; eval
     # noise: iterators.py:228-236), so the masked embed reduces to an
@@ -111,11 +118,14 @@ class STARGCN(nn.Module):
     def __call__(self, graph: BipartiteGraphData, edge_mask, noise_user,
                  noise_item, pairs_user, pairs_item, user_features=None,
                  item_features=None, dense_adj=None, removed_pairs=None,
-                 variant_degrees=None, *, train: bool = False):
+                 variant_degrees=None, ell_pack=None, *,
+                 train: bool = False):
         cfg = self.cfg
         act = get_activation(cfg.activation)
 
-        use_static = cfg.backend == "dense" and dense_adj is not None
+        use_ell = cfg.backend == "ell" and ell_pack is not None
+        use_static = (cfg.backend == "dense"
+                      and dense_adj is not None) or use_ell
         # Normalise removed_pairs: (pu, pi, valid) triggers an in-jit
         # binary-search edge lookup; (pu, pi, hit, rating) carries the
         # lookup result computed on the host (cheaper — the searchsorted
@@ -172,7 +182,14 @@ class STARGCN(nn.Module):
         dense_u = dense_i = None
         dense_i_transposed = False
         static_u = static_i = None
-        if use_static:
+        ell_u = ell_i = None
+        if use_ell:
+            # Chunked-ELL sparse fast path: static per-variant index
+            # arrays, scalings from the masked degrees, removal as a
+            # batch-sized correction (ops/chunked_ell.py).
+            ell_u, ell_i = _build_ell_static_operands(
+                cfg, ell_pack, deg_u, deg_i, removed_info)
+        elif use_static:
             # Fast path: static per-variant adjacency (built once outside
             # the step), scalings from the masked degrees, removal as a
             # batch-sized correction.
@@ -196,13 +213,13 @@ class STARGCN(nn.Module):
                 edge_src=graph.edge_item, edge_dst=graph.edge_user,
                 edge_rating=graph.edge_rating, support=sup_u,
                 num_links=graph.num_links, dense_support=dense_u,
-                dense_static=static_u),
+                dense_static=static_u, ell_static=ell_u),
             ("item", "user"): Relation(
                 edge_src=graph.edge_user, edge_dst=graph.edge_item,
                 edge_rating=graph.edge_rating, support=sup_i,
                 num_links=graph.num_links, dense_support=dense_i,
                 dense_transposed=dense_i_transposed,
-                dense_static=static_i),
+                dense_static=static_i, ell_static=ell_i),
         }
         meta = {"user": ["item"], "item": ["user"]}
 
@@ -321,6 +338,53 @@ class STARGCN(nn.Module):
         }
 
 
+def _norm_scales(cfg, deg_u, deg_i):
+    """Separable degree-scale vectors per direction: ``{target_type:
+    (dst_scale, src_scale)}`` with ``support = dst_scale * src_scale``
+    (symmetric norm) or ``1/d_dst`` (reference ``get_support``,
+    ``graph_sampler.cpp:393-420``)."""
+    if cfg.agg_norm_symm:
+        s_u = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)),
+                        0.0)
+        s_i = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)),
+                        0.0)
+        return {"user": (s_u, s_i), "item": (s_i, s_u)}
+    inv_u = jnp.where(deg_u > 0, 1.0 / jnp.maximum(deg_u, 1e-12), 0.0)
+    inv_i = jnp.where(deg_i > 0, 1.0 / jnp.maximum(deg_i, 1e-12), 0.0)
+    ones_u = jnp.ones_like(deg_u)
+    ones_i = jnp.ones_like(deg_i)
+    return {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
+
+
+def _build_ell_static_operands(cfg, ell_pack, deg_u, deg_i, removed_info):
+    """Assemble ``EllStatic`` operands for both aggregation directions.
+
+    ``ell_pack``: ``{"user"|"item": {"idx","rat","row"}}`` chunked-ELL
+    arrays per direction (dst = that type); each direction's backward
+    arrays are simply the OTHER direction's forward arrays (the same
+    bipartite edge set viewed from the other side).
+    """
+    from stargcn_tpu.models.layers import EllStatic
+
+    scales = _norm_scales(cfg, deg_u, deg_i)
+    rem = {"user": (None,) * 4, "item": (None,) * 4}
+    if removed_info is not None:
+        pu, pi, hit, r = removed_info
+        rem = {"user": (pi, pu, r, hit), "item": (pu, pi, r, hit)}
+
+    def make(t, other):
+        p, q = ell_pack[t], ell_pack[other]
+        rs, rd, rr, rw = rem[t]
+        return EllStatic(
+            f_idx=p["idx"], f_rat=p["rat"], f_row=p["row"],
+            b_idx=q["idx"], b_rat=q["rat"], b_row=q["row"],
+            dst_scale=scales[t][0], src_scale=scales[t][1],
+            rem_src=rs, rem_dst=rd, rem_rating=rr, rem_weight=rw,
+            chunk=cfg.ell_chunk, bf16=cfg.ell_bf16)
+
+    return make("user", "item"), make("item", "user")
+
+
 def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
                                  removed_info):
     """Assemble ``DenseStatic`` operands for both aggregation directions.
@@ -332,18 +396,7 @@ def _build_dense_static_operands(cfg, graph, dense_adj, deg_u, deg_i,
     """
     from stargcn_tpu.models.layers import DenseStatic
 
-    if cfg.agg_norm_symm:
-        s_u = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)),
-                        0.0)
-        s_i = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)),
-                        0.0)
-        scales = {"user": (s_u, s_i), "item": (s_i, s_u)}
-    else:
-        inv_u = jnp.where(deg_u > 0, 1.0 / jnp.maximum(deg_u, 1e-12), 0.0)
-        inv_i = jnp.where(deg_i > 0, 1.0 / jnp.maximum(deg_i, 1e-12), 0.0)
-        ones_u = jnp.ones_like(deg_u)
-        ones_i = jnp.ones_like(deg_i)
-        scales = {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
+    scales = _norm_scales(cfg, deg_u, deg_i)
 
     adj = jax.lax.stop_gradient(dense_adj)
     if removed_info is not None:

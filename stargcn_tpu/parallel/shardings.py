@@ -18,7 +18,22 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def place(x, sharding):
+    """``device_put`` that also works when the sharding spans multiple
+    PROCESSES: every process passes the FULL array and contributes only
+    its addressable shards (``jax.make_array_from_callback``).  The
+    convention throughout this framework is that all hosts compute
+    identical batches (same seeds), so the full array is available
+    everywhere."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 @dataclasses.dataclass
@@ -51,30 +66,30 @@ class GraphShardings:
         lookup arrays replicated (binary search stays local)."""
         return dataclasses.replace(
             graph,
-            edge_user=jax.device_put(graph.edge_user, self.edges),
-            edge_item=jax.device_put(graph.edge_item, self.edges),
-            edge_rating=jax.device_put(graph.edge_rating, self.edges),
-            edge_pad_mask=jax.device_put(graph.edge_pad_mask, self.edges),
-            lookup_keys=jax.device_put(graph.lookup_keys, self.replicated),
-            lookup_perm=jax.device_put(graph.lookup_perm, self.replicated),
+            edge_user=place(graph.edge_user, self.edges),
+            edge_item=place(graph.edge_item, self.edges),
+            edge_rating=place(graph.edge_rating, self.edges),
+            edge_pad_mask=place(graph.edge_pad_mask, self.edges),
+            lookup_keys=place(graph.lookup_keys, self.replicated),
+            lookup_perm=place(graph.lookup_perm, self.replicated),
         )
 
     def place_params(self, params, shard_embeddings: bool = True):
         """Row-shard the embedding tables over 'model'; replicate the rest."""
 
-        def place(path, x):
+        def place_leaf(path, x):
             names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
             if (shard_embeddings and any(
                     str(n).startswith("embed_") for n in names)
                     and x.ndim == 2
                     and x.shape[0] % self.mesh.shape["model"] == 0):
-                return jax.device_put(x, self.embed_rows)
-            return jax.device_put(x, self.replicated)
+                return place(x, self.embed_rows)
+            return place(x, self.replicated)
 
-        return jax.tree_util.tree_map_with_path(place, params)
+        return jax.tree_util.tree_map_with_path(place_leaf, params)
 
     def place_batch(self, *arrays):
-        return tuple(jax.device_put(a, self.batch) for a in arrays)
+        return tuple(place(a, self.batch) for a in arrays)
 
     def place_replicated(self, *arrays):
-        return tuple(jax.device_put(a, self.replicated) for a in arrays)
+        return tuple(place(a, self.replicated) for a in arrays)

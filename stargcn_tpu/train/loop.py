@@ -39,8 +39,9 @@ from stargcn_tpu.utils.logging import MetricLogger
 
 def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
     """'auto' picks the dense MXU backend when the (R, Nu, Ni) support
-    tensor is small enough to live in HBM comfortably, else the XLA
-    gather/scatter path.  The 'pallas' ELL kernels serve the SAMPLED
+    tensor is small enough to live in HBM comfortably, else the
+    chunked-ELL sparse path (``ops/chunked_ell.py`` — no O(E) scatter in
+    forward or backward).  The 'pallas' ELL kernels serve the SAMPLED
     mini-batch mode (``models/sampled.py``); for the full-graph model
     they fall back to 'xla'."""
     if backend == "pallas":
@@ -50,7 +51,7 @@ def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
     if backend != "auto":
         return backend
     entries = num_links * num_users * num_items
-    return "dense" if entries <= 150_000_000 else "xla"
+    return "dense" if entries <= 150_000_000 else "ell"
 
 
 def resolve_edge_chunk(backend, num_edges, agg_units):
@@ -94,6 +95,9 @@ def build_model_config(cfg, num_users, num_items, num_links,
         backend=backend,
         edge_chunk=resolve_edge_chunk(backend, num_edges,
                                       tuple(cfg.GCN.AGG.UNITS)),
+        ell_k=cfg.KERNEL.get("ELL_K", 64),
+        ell_chunk=cfg.KERNEL.get("ELL_CHUNK", 16384),
+        ell_bf16=cfg.KERNEL.get("ELL_BF16", False),
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
 
@@ -143,6 +147,56 @@ class TrainSettings:
         )
 
 
+def make_optimizer(settings):
+    """Global-norm clip + Adam (+ optional weight decay) with an
+    adjustable learning rate (``optax.inject_hyperparams``) — the
+    reference trainer's optimiser contract (``STAR-GCN.py:568-576,630``).
+    """
+    s = settings
+
+    def make(learning_rate):
+        parts = [optax.clip_by_global_norm(s.grad_clip),
+                 optax.scale_by_adam()]
+        if s.wd:
+            parts.append(optax.add_decayed_weights(s.wd))
+        parts.append(optax.scale(-learning_rate))
+        return optax.chain(*parts)
+
+    return optax.inject_hyperparams(make)(learning_rate=s.lr)
+
+
+def make_metric_loggers(save_dir, save_id, nblocks):
+    """train/valid/test MetricLogger CSVs
+    (``train_loss%d.csv``/``valid_loss%d.csv``/``test_loss%d.csv``,
+    reference ``STAR-GCN.py:555-566``); no-op loggers without a
+    save_dir."""
+    if save_dir is None:
+        class _Null:
+            def log(self, **kw):
+                pass
+
+            def close(self):
+                pass
+        return {k: _Null() for k in ("train", "valid", "test")}
+    os.makedirs(save_dir, exist_ok=True)
+    cols = ["iter", "loss"] + sum(
+        [[f"rmse{i}", f"rating_loss{i}", f"recon_loss{i}"]
+         for i in range(nblocks)], [])
+    fmts = ["%d", "%.4f"] + ["%.4f"] * (3 * nblocks)
+    return {
+        "train": MetricLogger(cols, fmts, os.path.join(
+            save_dir, f"train_loss{save_id}.csv")),
+        "valid": MetricLogger(
+            ["iter"] + [f"rmse{i}" for i in range(nblocks)],
+            ["%d"] + ["%.4f"] * nblocks,
+            os.path.join(save_dir, f"valid_loss{save_id}.csv")),
+        "test": MetricLogger(
+            ["iter"] + [f"rmse{i}" for i in range(nblocks)],
+            ["%d"] + ["%.4f"] * nblocks,
+            os.path.join(save_dir, f"test_loss{save_id}.csv")),
+    }
+
+
 class Trainer:
     """Owns the jitted step functions and the host-side schedule."""
 
@@ -167,13 +221,15 @@ class Trainer:
             self.graph_data = self.shardings.place_graph(self.graph_data)
         self.edge_masks = self._build_variant_masks(all_csr)
         if self.shardings is not None:
+            from stargcn_tpu.parallel.shardings import place
             self.edge_masks = {
-                k: jax.device_put(v, self.shardings.edges)
+                k: place(v, self.shardings.edges)
                 for k, v in self.edge_masks.items()}
         # Static per-variant dense adjacencies + degree vectors for the
         # MXU backend — the O(E) scatters the naive path paid EVERY step.
         self.dense_adj = None
         self.variant_degrees = None
+        self.ell_packs = None
         if model_cfg.backend == "dense":
             from stargcn_tpu.ops.agg import build_dense_adjacency
 
@@ -184,6 +240,21 @@ class Trainer:
                 g.num_items))
             self.dense_adj = {k: build(v)
                               for k, v in self.edge_masks.items()}
+        if model_cfg.backend == "ell":
+            # Static per-variant chunked-ELL packs (ops/chunked_ell.py):
+            # both directions share the masked edge set; each direction's
+            # arrays double as the other's backward arrays.
+            from stargcn_tpu.ops.chunked_ell import build_ell_pack
+
+            g = self.graph_data
+            pad = np.asarray(g.edge_pad_mask)
+            self.ell_packs = {
+                k: build_ell_pack(
+                    g.edge_user, g.edge_item, g.edge_rating,
+                    np.asarray(m) * pad, model_cfg.num_users,
+                    model_cfg.num_items, K=model_cfg.ell_k)
+                for k, m in self.edge_masks.items()}
+        if model_cfg.backend in ("dense", "ell"):
             eu = np.asarray(self.graph_data.edge_user)
             ei = np.asarray(self.graph_data.edge_item)
             pad = np.asarray(self.graph_data.edge_pad_mask)
@@ -278,17 +349,7 @@ class Trainer:
         return variables["params"]
 
     def _make_optimizer(self):
-        s = self.s
-
-        def make(learning_rate):
-            parts = [optax.clip_by_global_norm(s.grad_clip),
-                     optax.scale_by_adam()]
-            if s.wd:
-                parts.append(optax.add_decayed_weights(s.wd))
-            parts.append(optax.scale(-learning_rate))
-            return optax.chain(*parts)
-
-        return optax.inject_hyperparams(make)(learning_rate=s.lr)
+        return make_optimizer(self.s)
 
     def set_lr(self, lr: float):
         self.lr = lr
@@ -340,10 +401,12 @@ class Trainer:
                     jnp.asarray(noise), jnp.asarray(rmask))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from stargcn_tpu.parallel.shardings import place
+
         # batch axis is the LAST axis in both layouts ([3,B] / [k,3,B])
         spec = [None] * (ints.ndim - 1) + ["data"]
         bshard = NamedSharding(self.mesh, P(*spec))
-        return (jax.device_put(ints, bshard), jax.device_put(flts, bshard),
+        return (place(ints, bshard), place(flts, bshard),
                 *self.shardings.place_replicated(noise, rmask))
 
     def _train_dense_adj(self):
@@ -354,6 +417,10 @@ class Trainer:
         return (self.variant_degrees["train"]
                 if self.variant_degrees is not None else None)
 
+    def _ell_pack(self, variant):
+        return (self.ell_packs[variant]
+                if self.ell_packs is not None else None)
+
     def train_iteration(self, rating_batch, recon_batch):
         """One optimisation step.  Returns device-side stats dict."""
         self._rng_key, step_key = jax.random.split(self._rng_key)
@@ -362,8 +429,8 @@ class Trainer:
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state, self.graph_data,
             self.edge_masks["train"], self._train_dense_adj(),
-            self._train_variant_degrees(), ints_d, flts_d, noise_d,
-            rmask_d, step_key)
+            self._train_variant_degrees(), self._ell_pack("train"),
+            ints_d, flts_d, noise_d, rmask_d, step_key)
         return stats
 
     def train_chunk(self, rating_batches, recon_batches):
@@ -392,8 +459,8 @@ class Trainer:
         self.params, self.opt_state, stats = self._scan_step(
             self.params, self.opt_state, self.graph_data,
             self.edge_masks["train"], self._train_dense_adj(),
-            self._train_variant_degrees(), ints_d, flts_d, noise_d,
-            rmask_d, keys)
+            self._train_variant_degrees(), self._ell_pack("train"),
+            ints_d, flts_d, noise_d, rmask_d, keys)
         return stats
 
     def prepare_recon_batch(self, embed_noise_dict, recon_ids_dict):
@@ -414,9 +481,9 @@ class Trainer:
         it = self.data_iter
         dp = 1 if self.mesh is None else self.mesh.shape["data"]
         B = min(self.s.rating_batch_size,
-                max(1, it._valid_node_pairs.shape[1]
+                max(1, it.valid_node_pairs.shape[1]
                     if segment == "valid" else
-                    it._test_node_pairs.shape[1]))
+                    it.test_node_pairs.shape[1]))
         B = -(-B // dp) * dp
         noise_u = jnp.asarray(it.evaluate_embed_noise_dict["user"])
         noise_i = jnp.asarray(it.evaluate_embed_noise_dict["movie"])
@@ -447,7 +514,8 @@ class Trainer:
             block_sq = self._eval_step(
                 self.params, self.graph_data, jnp.asarray(pu),
                 jnp.asarray(pi), jnp.asarray(gt), jnp.asarray(valid),
-                mask, dense_adj, variant_degrees, noise_u, noise_i)
+                mask, dense_adj, variant_degrees, self._ell_pack(seg_key),
+                noise_u, noise_i)
             sq_sum += np.asarray(block_sq)
             cnt += n
         return np.sqrt(sq_sum / max(cnt, 1))
@@ -489,7 +557,7 @@ class Trainer:
             preds = self._predict_step(
                 self.params, self.graph_data, jnp.asarray(pu),
                 jnp.asarray(pi), mask, dense_adj, variant_degrees,
-                noise_u, noise_i)
+                self._ell_pack(seg_key), noise_u, noise_i)
             out[start:end] = np.asarray(preds)[:end - start]
         return out
 
@@ -497,13 +565,13 @@ class Trainer:
     def _predict_step(self):
         if not hasattr(self, "_predict_step_fn"):
             def step(params, g, pu, pi, mask, dense_adj, variant_degrees,
-                     noise_u, noise_i):
+                     ell_pack, noise_u, noise_i):
                 fu, fi = self.features()
                 out = self.model.apply(
                     {"params": params}, g, mask, noise_u,
                     noise_i, pu, pi, user_features=fu, item_features=fi,
                     dense_adj=dense_adj, variant_degrees=variant_degrees,
-                    train=False)
+                    ell_pack=ell_pack, train=False)
                 denorm = (out["pred_ratings"][-1] * self.rating_std
                           + self.rating_mean)
                 return jnp.clip(denorm, self.rating_min, self.rating_max)
@@ -720,34 +788,8 @@ class Trainer:
                                    else [float(x) for x in best_test_rmse])}
 
     def _make_metric_loggers(self):
-        nb = self.model_cfg.nblocks
-        if self.save_dir is None:
-            class _Null:
-                def log(self, **kw):
-                    pass
-
-                def close(self):
-                    pass
-            return {k: _Null() for k in ("train", "valid", "test")}
-        os.makedirs(self.save_dir, exist_ok=True)
-        cols = ["iter", "loss"] + sum(
-            [[f"rmse{i}", f"rating_loss{i}", f"recon_loss{i}"]
-             for i in range(nb)], [])
-        fmts = ["%d", "%.4f"] + ["%.4f"] * (3 * nb)
-        return {
-            "train": MetricLogger(cols, fmts, os.path.join(
-                self.save_dir, f"train_loss{self.save_id}.csv")),
-            "valid": MetricLogger(
-                ["iter"] + [f"rmse{i}" for i in range(nb)],
-                ["%d"] + ["%.4f"] * nb,
-                os.path.join(self.save_dir,
-                             f"valid_loss{self.save_id}.csv")),
-            "test": MetricLogger(
-                ["iter"] + [f"rmse{i}" for i in range(nb)],
-                ["%d"] + ["%.4f"] * nb,
-                os.path.join(self.save_dir,
-                             f"test_loss{self.save_id}.csv")),
-        }
+        return make_metric_loggers(self.save_dir, self.save_id,
+                                   self.model_cfg.nblocks)
 
     # ---------------------------- checkpointing ------------------------------
 
@@ -776,7 +818,8 @@ class Trainer:
 
 
 def _scan_train_steps(trainer, params, opt_state, g, edge_mask, dense_adj,
-                      variant_degrees, ints, flts, noise, rmask, keys):
+                      variant_degrees, ell_pack, ints, flts, noise, rmask,
+                      keys):
     """k fused steps: lax.scan over the single-step body.  The graph
     arrays ride as loop-invariant traced arguments (NOT closure
     constants — embedded constants would bloat the serialized program
@@ -786,7 +829,8 @@ def _scan_train_steps(trainer, params, opt_state, g, edge_mask, dense_adj,
         p, o = carry
         i, f, n, r, key = x
         p, o, stats = _train_step(trainer, p, o, g, edge_mask, dense_adj,
-                                  variant_degrees, i, f, n, r, key)
+                                  variant_degrees, ell_pack, i, f, n, r,
+                                  key)
         return (p, o), stats
 
     (params, opt_state), stats = jax.lax.scan(
@@ -795,7 +839,7 @@ def _scan_train_steps(trainer, params, opt_state, g, edge_mask, dense_adj,
 
 
 def _train_step(trainer, params, opt_state, g, edge_mask, dense_adj,
-                variant_degrees, ints, flts, noise, rmask, rng):
+                variant_degrees, ell_pack, ints, flts, noise, rmask, rng):
     cfg = trainer.model_cfg
     s = trainer.s
     mean, std = trainer.rating_mean, trainer.rating_std
@@ -822,7 +866,7 @@ def _train_step(trainer, params, opt_state, g, edge_mask, dense_adj,
             {"params": p}, g, edge_mask, noise_u, noise_i,
             pairs_u, pairs_i, user_features=fu, item_features=fi,
             dense_adj=dense_adj, removed_pairs=removed_pairs,
-            variant_degrees=variant_degrees,
+            variant_degrees=variant_degrees, ell_pack=ell_pack,
             train=True, rngs={"dropout": rng})
         target = (gt_ratings - mean) / std
         # gluon L2Loss = mean(0.5 * (pred - label)^2)  (STAR-GCN.py:614);
@@ -860,12 +904,14 @@ def _train_step(trainer, params, opt_state, g, edge_mask, dense_adj,
 
 
 def _eval_step(trainer, params, g, pairs_u, pairs_i, gt_ratings, valid,
-               edge_mask, dense_adj, variant_degrees, noise_u, noise_i):
+               edge_mask, dense_adj, variant_degrees, ell_pack, noise_u,
+               noise_i):
     fu, fi = trainer.features()
     out = trainer.model.apply(
         {"params": params}, g, edge_mask, noise_u, noise_i,
         pairs_u, pairs_i, user_features=fu, item_features=fi,
-        dense_adj=dense_adj, variant_degrees=variant_degrees, train=False)
+        dense_adj=dense_adj, variant_degrees=variant_degrees,
+        ell_pack=ell_pack, train=False)
     denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
     clipped = jnp.clip(denorm, trainer.rating_min, trainer.rating_max)
     sq = (clipped - gt_ratings[None, :]) ** 2

@@ -1,17 +1,29 @@
-"""Mini-batch training loop for the sampled two-phase mode.
+"""Mini-batch training engine for the sampled two-phase mode.
 
-The beyond-HBM counterpart of ``Trainer.fit``: host plan building runs in
-a background prefetch thread (it dominates wall time at large scale —
-BASELINE.md), the device step is the jitted ``make_sampled_train_step``,
-and with ``frontier_caps`` every batch reuses one compiled program.
-Evaluation uses exact (fanout = -1) capped plans per eval batch.
+The beyond-HBM counterpart of ``Trainer`` with FULL schedule parity with
+the reference ``train()`` (``experiments/STAR-GCN.py:507-713``): rating +
+reconstruction batches from the same ``DataIterator`` samplers,
+REMOVE_RATING batch-edge exclusion, interleaved valid/test evaluation,
+patience-driven LR decay with early stopping, best/last checkpoints, and
+``MetricLogger`` CSVs.  Reached from the CLI when
+``GRAPH_SAMPLER.NUM_NEIGHBORS > 0`` (reference ``STAR-GCN.py:57``).
+
+Host plan building (``StackedPlan.build``) runs in an optional one-ahead
+prefetch thread; the device step is one jitted program for every batch
+(fixed frontier caps), like the full-graph trainer.  Evaluation samples
+neighborhoods with the SAME fanout as training, on the eval graph, with
+the cold-start eval noise — reference ``evaluate()`` semantics
+(``STAR-GCN.py:465-498``).
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
+import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -19,133 +31,499 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from stargcn_tpu.graph.device import BipartiteGraphData
 from stargcn_tpu.graph.sampling import BlockSampler
-from stargcn_tpu.models.sampled import (
-    StackedPlan,
-    make_sampled_train_step,
-    sampled_forward,
-)
+from stargcn_tpu.models.sampled import StackedPlan, sampled_forward
+from stargcn_tpu.models.stargcn import STARGCN
+from stargcn_tpu.train.loop import make_metric_loggers, make_optimizer
+
+
+def _round_up(n, m):
+    return max(m, -(-n // m) * m)
 
 
 class SampledTrainer:
-    """Sampled-mode training driver sharing the full-graph parameter
-    pytree (checkpoints interchange with ``Trainer``)."""
+    """Sampled-mode training driver with the ``Trainer`` schedule.
 
-    def __init__(self, model_cfg, graph, params, *, fanout, frontier_caps,
-                 batch_size, rating_mean, rating_std, recon_lambda=0.1,
-                 lr=2e-3, grad_clip=1.0, recon_per_batch=0,
-                 name_user="user", name_item="movie", seed=0):
-        self.cfg = model_cfg
-        self.graph = graph
-        self.params = params
+    Shares the full-graph model's parameter pytree (checkpoints
+    interchange with ``Trainer``; ``models/sampled.py`` executes the
+    same math over sampled frontiers).
+    """
+
+    def __init__(self, model_cfg, data_iter, settings, *, fanout,
+                 save_dir: Optional[str] = None, save_id: int = 0,
+                 frontier_caps=None, name_user="user", name_item="movie",
+                 backend: str = "xla", cap_slack: float = 1.6):
+        assert fanout > 0, "SampledTrainer needs a positive fanout"
+        if model_cfg.use_fea_proj:
+            raise NotImplementedError(
+                "sampled mode covers the shipped configs, none of which "
+                "set MODEL.USE_FEA_PROJ (all 15 use embeddings only)")
+        self.model_cfg = model_cfg
+        self.data_iter = data_iter
+        self.s = settings
         self.fanout = fanout
-        self.caps = frontier_caps
-        self.batch_size = batch_size
-        self.recon_per_batch = recon_per_batch
-        self.rating_mean = rating_mean
-        self.rating_std = rating_std
+        self.save_dir = save_dir
+        self.save_id = save_id
+        self.backend = backend
         self.names = (name_user, name_item)
-        self._rng = np.random.RandomState(seed)
-        self._key = jax.random.PRNGKey(seed)
-        self.opt = optax.chain(optax.clip_by_global_norm(grad_clip),
-                               optax.adam(lr))
-        self.opt_state = self.opt.init(params)
-        self.step_fn = make_sampled_train_step(
-            model_cfg, self.opt, rating_mean, rating_std, recon_lambda)
-        self.sampler = BlockSampler(
-            graph, num_layers=len(model_cfg.agg_units), fanout=fanout,
-            symm=model_cfg.agg_norm_symm, frontier_caps=frontier_caps,
-            name_user=name_user, name_item=name_item)
-        csr = graph[name_user, name_item]
-        self._pairs = csr.node_pair_ids
-        self._values = csr.values
-        self.noise_u = jnp.arange(model_cfg.num_users, dtype=jnp.int32)
-        self.noise_i = jnp.arange(model_cfg.num_items, dtype=jnp.int32)
 
-    def _make_batch(self):
-        """Host-only batch construction (NO device transfers here: this
-        runs in the prefetch thread, and device ops from a non-main
-        thread serialize pathologically on some runtimes — convert with
-        ``as_device()`` on the consumer side)."""
-        n = self._pairs.shape[1]
-        # with-replacement draw: O(B) instead of an O(E) permutation per
-        # batch (duplicates are ~B/E rare at scale)
-        sel = self._rng.randint(0, n, self.batch_size)
-        bu, bi = self._pairs[0, sel], self._pairs[1, sel]
-        gt = self._values[sel]
-        r = self.recon_per_batch
+        it = data_iter
+        train_ratings = it.train_ratings
+        self.rating_mean = float(train_ratings.mean())
+        self.rating_std = float(train_ratings.std())
+        vals = it.possible_rating_values
+        self.rating_min = float(vals.min())
+        self.rating_max = float(vals.max())
+
+        n_train = it.train_node_pairs.shape[1]
+        self.train_batch = min(self.s.rating_batch_size, n_train)
+        # Reference removes batch edges only when the batch is a strict
+        # subset of the training edges (STAR-GCN.py:594).
+        self.do_remove = self.s.remove_rating and self.train_batch < n_train
+
+        # Fixed-size recon batches (pad with -1): the reference passes
+        # the recon sampler's batch ids into the plan (STAR-GCN.py:602).
+        self.recon_cap = {}
+        if self.s.use_dae:
+            for t, key in (("user", name_user), ("item", name_item)):
+                n_recon = int(np.ceil(
+                    it.embed_P_mask[key]
+                    * it.recon_train_candidates[key].size))
+                self.recon_cap[t] = min(self.s.recon_batch_size, n_recon)
+        else:
+            self.recon_cap = {"user": 0, "item": 0}
+
+        L = len(model_cfg.agg_units)
+        self.samplers = {
+            seg: BlockSampler(g, num_layers=L, fanout=fanout,
+                              symm=model_cfg.agg_norm_symm,
+                              name_user=name_user, name_item=name_item)
+            for seg, g in (("train", it.train_graph),
+                           ("valid", it.val_graph),
+                           ("test", it.test_graph))}
+        self.caps = (dict(frontier_caps) if frontier_caps is not None
+                     else self._probe_caps(cap_slack))
+        for s in self.samplers.values():
+            s.frontier_caps = self.caps
+        logging.info("sampled frontier caps: %s", self.caps)
+
+        self.params = self._init_params()
+        self.opt = make_optimizer(settings)
+        self.opt_state = self.opt.init(self.params)
+        self.lr = self.s.lr
+        self._rng_key = jax.random.PRNGKey(self.s.seed)
+
+        self._train_step = jax.jit(partial(_sampled_train_step, self),
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(partial(_sampled_eval_step, self))
+
+    # ------------------------------ setup -----------------------------------
+
+    def _probe_caps(self, slack: float):
+        """Derive frontier caps from a few probe plans (train batches +
+        the widest eval batch per segment), padded by ``slack``."""
+        it = self.data_iter
+        caps = {"user": 0, "item": 0}
+
+        def grow(plan):
+            for chain in plan.chains:
+                for f in chain.frontiers:
+                    for t in ("user", "item"):
+                        caps[t] = max(caps[t], int(f[t].size))
+
+        rs = it.rating_sampler(batch_size=self.train_batch,
+                               segment="train")
+        recon = (it.recon_nodes_sampler(batch_size=self.s.recon_batch_size)
+                 if self.s.use_dae else None)
+        for _ in range(2):
+            pairs, _ = next(rs)
+            kw = {}
+            if recon is not None:
+                _, batch_ids, _ = next(recon)
+                ru, ri = self._pad_recon(batch_ids)
+                kw = dict(recon_user_ids=ru, recon_item_ids=ri)
+            grow(StackedPlan.build(
+                it.train_graph, self.model_cfg, pairs[0], pairs[1],
+                fanout=self.fanout, sampler=self.samplers["train"], **kw))
+        for seg in ("valid", "test"):
+            pairs = (it.valid_node_pairs if seg == "valid"
+                     else it.test_node_pairs)
+            bs = min(self.train_batch, max(1, pairs.shape[1]))
+            grow(StackedPlan.build(
+                it.val_graph if seg == "valid" else it.test_graph,
+                self.model_cfg, pairs[0, :bs], pairs[1, :bs],
+                fanout=self.fanout, sampler=self.samplers[seg]))
+        return {t: _round_up(int(v * slack), 256) for t, v in caps.items()}
+
+    def _init_params(self):
+        """Init the full-graph module on a tiny same-dims dummy graph —
+        parameter shapes depend only on the node/link counts."""
+        cfg = self.model_cfg
+        rng = np.random.RandomState(0)
+        n = 64
+        gd = BipartiteGraphData.from_arrays(
+            rng.randint(0, cfg.num_users, n),
+            rng.randint(0, cfg.num_items, n),
+            rng.randint(0, cfg.num_links, n),
+            cfg.num_users, cfg.num_items, cfg.num_links, pad_multiple=64)
+        B = 8
+        model = STARGCN(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(self.s.seed),
+             "dropout": jax.random.PRNGKey(1)},
+            gd, gd.edge_pad_mask,
+            jnp.zeros(cfg.num_users, jnp.int32),
+            jnp.zeros(cfg.num_items, jnp.int32),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), train=False)
+        return variables["params"]
+
+    def set_lr(self, lr: float):
+        self.lr = lr
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+
+    # --------------------------- batch building ------------------------------
+
+    def _pad_recon(self, batch_ids_dict):
+        """Fixed-shape recon id arrays (pad with -1)."""
+        nu, ni = self.names
+        out = []
+        for t, key in (("user", nu), ("item", ni)):
+            cap = self.recon_cap[t]
+            ids = np.asarray(batch_ids_dict.get(key, ()), np.int32)[:cap]
+            arr = np.full(cap, -1, np.int32)
+            arr[:ids.size] = ids
+            out.append(arr)
+        return out
+
+    def _make_batch(self, rating_sampler, recon_sampler):
+        """Host-only batch construction (runs in the prefetch thread; NO
+        device ops here — device transfers from a non-main thread
+        serialize pathologically on some runtimes)."""
+        pairs, gt = next(rating_sampler)
+        n = gt.size
+        B = self.train_batch
+        bu = np.zeros(B, np.int32)
+        bi = np.zeros(B, np.int32)
+        gt_pad = np.zeros(B, np.float32)
+        valid = np.zeros(B, np.float32)
+        bu[:n], bi[:n], gt_pad[:n], valid[:n] = (
+            pairs[0], pairs[1], gt, 1.0)
+        kw = {}
+        noise_u = noise_i = None
+        if recon_sampler is not None:
+            noise_dict, batch_ids, _ = next(recon_sampler)
+            nu, ni = self.names
+            noise_u = noise_dict[nu].astype(np.int32)
+            noise_i = noise_dict[ni].astype(np.int32)
+            ru, ri = self._pad_recon(batch_ids)
+            kw = dict(recon_user_ids=ru, recon_item_ids=ri)
+        if noise_u is None:
+            noise_u = np.arange(self.model_cfg.num_users, dtype=np.int32)
+            noise_i = np.arange(self.model_cfg.num_items, dtype=np.int32)
+        exclude = (pairs[0], pairs[1]) if self.do_remove else None
         plan = StackedPlan.build(
-            self.graph, self.cfg, bu, bi, fanout=self.fanout,
-            frontier_caps=self.caps, sampler=self.sampler,
-            recon_user_ids=bu[:r] if r else None,
-            recon_item_ids=bi[:r] if r else None)
-        return plan, gt
+            self.data_iter.train_graph, self.model_cfg, bu[:n], bi[:n],
+            fanout=self.fanout, sampler=self.samplers["train"],
+            exclude_pairs=exclude, **kw)
+        return plan, (bu, bi), gt_pad, valid, noise_u, noise_i
 
-    def fit(self, num_steps: int, log=logging.info, log_interval: int = 10,
+    # ------------------------------ driving ----------------------------------
+
+    def train_iteration(self, batch):
+        plan, (bu, bi), gt, valid, noise_u, noise_i = batch
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        dplan = plan.as_device()
+        pairs_pos = _pairs_positions(plan, bu, bi)
+        self.params, self.opt_state, stats = self._train_step(
+            self.params, self.opt_state, dplan, pairs_pos,
+            jnp.asarray(noise_u), jnp.asarray(noise_i),
+            jnp.asarray(gt), jnp.asarray(valid), step_key)
+        return stats
+
+    def evaluate(self, segment: str = "valid"):
+        """Per-block RMSE with fanout-sampled neighborhoods on the eval
+        graph and cold-start eval noise (``STAR-GCN.py:465-498``)."""
+        it = self.data_iter
+        pairs = (it.valid_node_pairs if segment == "valid"
+                 else it.test_node_pairs)
+        ratings = (it.valid_ratings if segment == "valid"
+                   else it.test_ratings)
+        graph = it.val_graph if segment == "valid" else it.test_graph
+        sampler = self.samplers[segment]
+        nu, ni = self.names
+        noise_u = jnp.asarray(it.evaluate_embed_noise_dict[nu])
+        noise_i = jnp.asarray(it.evaluate_embed_noise_dict[ni])
+        B = self.train_batch
+        sq_sum = np.zeros(self.model_cfg.nblocks)
+        cnt = 0
+        for start in range(0, pairs.shape[1], B):
+            end = min(start + B, pairs.shape[1])
+            n = end - start
+            bu = np.zeros(B, np.int32)
+            bi = np.zeros(B, np.int32)
+            gt = np.zeros(B, np.float32)
+            valid = np.zeros(B, np.float32)
+            bu[:n], bi[:n] = pairs[0, start:end], pairs[1, start:end]
+            gt[:n], valid[:n] = ratings[start:end], 1.0
+            plan = StackedPlan.build(
+                graph, self.model_cfg, bu[:n], bi[:n], fanout=self.fanout,
+                sampler=sampler)
+            pairs_pos = _pairs_positions(plan, bu, bi)
+            block_sq = self._eval_step(
+                self.params, plan.as_device(), pairs_pos, noise_u,
+                noise_i, jnp.asarray(gt), jnp.asarray(valid))
+            sq_sum += np.asarray(block_sq)
+            cnt += n
+        return np.sqrt(sq_sum / max(cnt, 1))
+
+    # -------------------------------- fit ------------------------------------
+
+    def fit(self, max_iter: Optional[int] = None, log=logging.info,
             prefetch: bool = True):
-        """Train, optionally with one-plan-ahead background prefetching.
+        """The reference training schedule (``STAR-GCN.py:507-713``) over
+        sampled mini-batches."""
+        s = self.s
+        it = self.data_iter
+        max_iter = max_iter or s.max_iter
+        rating_sampler = it.rating_sampler(batch_size=self.train_batch,
+                                           segment="train")
+        recon_sampler = (it.recon_nodes_sampler(
+            batch_size=s.recon_batch_size) if s.use_dae else None)
 
-        The plan builder is many small numpy/Python ops that hold the
-        GIL, so prefetching only pays when the device step is long
-        relative to plan building; measure both on your graph.
-        """
-        stop = threading.Event()
+        if self.save_dir is not None:
+            from stargcn_tpu.utils.model_info import model_info
+            model_info(self.params, os.path.join(
+                self.save_dir, f"net{self.save_id}.txt"))
+        loggers = make_metric_loggers(self.save_dir, self.save_id,
+                                      self.model_cfg.nblocks)
+        nb = self.model_cfg.nblocks
+        best_valid_rmse = np.inf
+        best_test_rmse = None
+        best_iter = -1
+        no_better = 0
+        stop = False
+        t_start = time.time()
+        pending = []
+        pending_cnt = 0
+
+        stop_evt = threading.Event()
         if prefetch:
             q: queue.Queue = queue.Queue(maxsize=2)
 
             def producer():
-                while not stop.is_set():
-                    item = self._make_batch()
-                    while not stop.is_set():
+                while not stop_evt.is_set():
+                    item = self._make_batch(rating_sampler, recon_sampler)
+                    while not stop_evt.is_set():
                         try:
                             q.put(item, timeout=0.1)
                             break
                         except queue.Full:
                             continue
 
-            thread = threading.Thread(target=producer, daemon=True)
-            thread.start()
+            threading.Thread(target=producer, daemon=True).start()
             next_batch = q.get
         else:
-            next_batch = self._make_batch
-        losses = []
-        try:
-            valid = jnp.ones(self.batch_size, jnp.float32)
-            for it in range(1, num_steps + 1):
-                plan, gt = next_batch()
-                dplan = plan.as_device()
-                self._key, sub = jax.random.split(self._key)
-                self.params, self.opt_state, stats = self.step_fn(
-                    self.params, self.opt_state, dplan, self.noise_u,
-                    self.noise_i, jnp.asarray(gt), valid, sub)
-                if it % log_interval == 0:
-                    loss = float(stats["loss"])
-                    losses.append(loss)
-                    log(f"sampled iter={it} loss={loss:.4f}")
-        finally:
-            stop.set()
-        return losses
+            def next_batch():
+                return self._make_batch(rating_sampler, recon_sampler)
 
-    def evaluate_rmse(self, pairs, values, batch_size: Optional[int] = None):
-        """Exact (all-neighbor) sampled evaluation: RMSE over denormalised,
-        range-clipped last-block predictions."""
-        batch_size = batch_size or self.batch_size
-        lo = float(np.min(self._values))
-        hi = float(np.max(self._values))
-        sq, cnt = 0.0, 0
-        for start in range(0, pairs.shape[1], batch_size):
-            bu = pairs[0, start:start + batch_size]
-            bi = pairs[1, start:start + batch_size]
-            gt = values[start:start + batch_size]
-            plan = StackedPlan.build(
-                self.graph, self.cfg, bu, bi, fanout=-1,
-                node_pad=128)
-            out = sampled_forward(self.params, self.cfg, plan,
-                                  np.asarray(self.noise_u),
-                                  np.asarray(self.noise_i))
-            pred = np.asarray(out["pred_ratings"][-1]) * self.rating_std \
-                + self.rating_mean
-            pred = np.clip(pred, lo, hi)
-            sq += float(((pred - gt) ** 2).sum())
-            cnt += gt.size
-        return float(np.sqrt(sq / max(cnt, 1)))
+        try:
+            for iter_idx in range(1, max_iter + 1):
+                stats = self.train_iteration(next_batch())
+                pending.append(stats)
+                pending_cnt += self.train_batch
+
+                logging_str = ""
+                if iter_idx % s.log_interval == 0:
+                    fetched = jax.device_get(pending)
+                    sq = sum(np.asarray(f["sq_err"]) for f in fetched)
+                    rl = sum(np.asarray(f["rating_loss"]) for f in fetched)
+                    cl = sum(np.asarray(f["recon_loss"]) for f in fetched)
+                    gn = sum(float(f["gnorm"]) for f in fetched)
+                    last_loss = float(fetched[-1]["loss"])
+                    n_batches = len(fetched)
+                    pending, n_pairs = [], pending_cnt
+                    pending_cnt = 0
+                    if not np.isfinite(last_loss):
+                        log(f"Non-finite loss at iter {iter_idx}; "
+                            "restoring best checkpoint and halving LR.")
+                        ckpt = (os.path.join(
+                            self.save_dir,
+                            f"ckpt_best_{self.save_id}.msgpack")
+                            if self.save_dir else None)
+                        if ckpt and os.path.exists(ckpt):
+                            self.restore_checkpoint(ckpt)
+                        self.set_lr(max(self.lr * 0.5, s.min_lr))
+                        continue
+                    rmse = np.sqrt(sq / max(n_pairs, 1))
+                    row = {"iter": iter_idx, "loss": last_loss}
+                    for i in range(nb):
+                        row[f"rmse{i}"] = rmse[i]
+                        row[f"rating_loss{i}"] = rl[i] / n_batches
+                        row[f"recon_loss{i}"] = cl[i] / n_batches
+                    loggers["train"].log(**row)
+                    dt = time.time() - t_start
+                    logging_str = (
+                        f"Iter={iter_idx}, gnorm={gn/n_batches:.3f}, "
+                        f"loss={last_loss:.3f}, "
+                        + ", ".join(f"RMSE{i}={rmse[i]:.3f}"
+                                    for i in range(nb))
+                        + f", {n_pairs/dt:.0f} pairs/s")
+                    t_start = time.time()
+
+                if iter_idx % s.valid_interval == 0:
+                    valid_rmse = self.evaluate("valid")
+                    loggers["valid"].log(**{"iter": iter_idx, **{
+                        f"rmse{i}": valid_rmse[i] for i in range(nb)}})
+                    logging_str += ", " + ", ".join(
+                        f"Val RMSE{i}={valid_rmse[i]:.3f}"
+                        for i in range(nb))
+                    if valid_rmse[-1] < best_valid_rmse:
+                        best_valid_rmse = valid_rmse[-1]
+                        no_better = 0
+                        best_iter = iter_idx
+                        best_test_rmse = self.evaluate("test")
+                        loggers["test"].log(**{"iter": iter_idx, **{
+                            f"rmse{i}": best_test_rmse[i]
+                            for i in range(nb)}})
+                        logging_str += ", " + ", ".join(
+                            f"Test RMSE{i}={best_test_rmse[i]:.4f}"
+                            for i in range(nb))
+                        self.save_checkpoint("best")
+                    else:
+                        no_better += 1
+                        if (no_better > s.early_stopping_patience
+                                and self.lr <= s.min_lr):
+                            log("Early stopping threshold reached.")
+                            stop = True
+                        elif no_better > s.decay_patience:
+                            new_lr = max(self.lr * s.lr_decay_factor,
+                                         s.min_lr)
+                            if new_lr < self.lr:
+                                log(f"\tChange the LR to {new_lr:g}")
+                                self.set_lr(new_lr)
+                                no_better = 0
+                if logging_str:
+                    log(logging_str)
+                if stop:
+                    break
+        finally:
+            stop_evt.set()
+        for lg in loggers.values():
+            lg.close()
+        self.save_checkpoint("last")
+        log(f"Best Iter={best_iter}, "
+            f"Best Valid RMSE={best_valid_rmse:.4f}, "
+            + (", ".join(f"Best Test RMSE{i}={best_test_rmse[i]:.4f}"
+                         for i in range(nb))
+               if best_test_rmse is not None else "no test eval"))
+        return {"best_iter": best_iter,
+                "best_valid_rmse": float(best_valid_rmse),
+                "best_test_rmse": (None if best_test_rmse is None
+                                   else [float(x) for x in best_test_rmse])}
+
+    # ---------------------------- checkpointing ------------------------------
+
+    def save_checkpoint(self, tag: str = "last"):
+        if self.save_dir is None:
+            return None
+        from stargcn_tpu.train.checkpoint import save_checkpoint
+        path = os.path.join(self.save_dir,
+                            f"ckpt_{tag}_{self.save_id}.msgpack")
+        save_checkpoint(path, self.params, self.opt_state,
+                        {"lr": self.lr})
+        return path
+
+    def restore_checkpoint(self, path: str):
+        from stargcn_tpu.train.checkpoint import restore_checkpoint
+        self.params, self.opt_state, extra = restore_checkpoint(
+            path, self.params, self.opt_state)
+        if "lr" in extra:
+            self.set_lr(float(extra["lr"]))
+
+
+# ------------------------- jitted step functions -----------------------------
+
+
+def _pairs_positions(plan, bu, bi):
+    """Positions of the (padded) batch pairs in each block's top
+    frontier, as device arrays (padded slots resolve to position 0 and
+    are masked by ``valid``)."""
+    out = []
+    for b, chain in enumerate(plan.chains):
+        top = chain.frontiers[-1]
+
+        def pos_of(ids, arr):
+            size = int(max(arr.max(initial=0), ids.max(initial=0))) + 1
+            pmap = np.zeros(size + 1, np.int32)
+            ok = arr >= 0
+            pmap[arr[ok]] = np.nonzero(ok)[0]
+            return pmap[np.minimum(ids, size)]
+
+        out.append({"user": jnp.asarray(pos_of(bu, top["user"])),
+                    "item": jnp.asarray(pos_of(bi, top["item"]))})
+    return out
+
+
+def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
+                     *, train, rng=None):
+    cfg = trainer.model_cfg
+    dplan = dict(dplan)
+    dplan["pairs_pos"] = pairs_pos
+    return sampled_forward(params, cfg, dplan, noise_u, noise_i,
+                           backend=trainer.backend, train=train,
+                           dropout_rng=rng)
+
+
+def _sampled_train_step(trainer, params, opt_state, dplan, pairs_pos,
+                        noise_u, noise_i, gt_ratings, pairs_valid, rng):
+    cfg = trainer.model_cfg
+    s = trainer.s
+    mean, std = trainer.rating_mean, trainer.rating_std
+    n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
+
+    def loss_fn(p):
+        out = _sampled_outputs(trainer, p, dplan, pairs_pos, noise_u,
+                               noise_i, train=True, rng=rng)
+        target = (gt_ratings - mean) / std
+        sq = (out["pred_ratings"] - target[None, :]) ** 2
+        rating_loss = 0.5 * jnp.sum(sq * pairs_valid[None, :],
+                                    axis=1) / n_valid
+        loss = rating_loss.sum()
+        recon_loss = jnp.zeros(cfg.nblocks)
+        if s.use_dae and out["pred_embed"]:
+            rls = []
+            for blk, ok in zip(out["pred_embed"], out["recon_ok"]):
+                block_loss = 0.0
+                for t in ("user", "item"):
+                    d = jnp.sum((blk[t] - out["gt_embed"][t]) ** 2,
+                                axis=-1)
+                    block_loss += (jnp.sum(d * ok[t])
+                                   / jnp.maximum(ok[t].sum(), 1.0))
+                rls.append(block_loss)
+            recon_loss = jnp.stack(rls)
+            loss = loss + s.recon_lambda * recon_loss.sum()
+        denorm = out["pred_ratings"] * std + mean
+        sq_err = jnp.sum((denorm - gt_ratings[None, :]) ** 2
+                         * pairs_valid[None, :], axis=1)
+        return loss, (rating_loss, recon_loss, sq_err)
+
+    (loss, (rating_loss, recon_loss, sq_err)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(params)
+    gnorm = optax.global_norm(grads)
+    updates, opt_state = trainer.opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    stats = {"loss": loss, "gnorm": gnorm, "rating_loss": rating_loss,
+             "recon_loss": recon_loss, "sq_err": sq_err}
+    return params, opt_state, stats
+
+
+def _sampled_eval_step(trainer, params, dplan, pairs_pos, noise_u,
+                       noise_i, gt_ratings, valid):
+    out = _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u,
+                           noise_i, train=False)
+    denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
+    clipped = jnp.clip(denorm, trainer.rating_min, trainer.rating_max)
+    sq = (clipped - gt_ratings[None, :]) ** 2
+    return jnp.sum(sq * valid[None, :], axis=1)

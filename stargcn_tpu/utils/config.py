@@ -119,7 +119,10 @@ def default_cfg() -> EasyDict:
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()
-    cfg.KERNEL.BACKEND = "auto"  # auto | xla | dense | pallas
+    cfg.KERNEL.BACKEND = "auto"  # auto | xla | dense | ell | pallas
+    cfg.KERNEL.ELL_K = 64        # chunked-ELL virtual-row width
+    cfg.KERNEL.ELL_CHUNK = 16384  # rematerialised row-chunk size
+    cfg.KERNEL.ELL_BF16 = False  # bf16 gather/contract in the ell path
     cfg.PARALLEL = EasyDict()
     cfg.PARALLEL.DATA_AXIS = 1   # data-parallel mesh size
     cfg.PARALLEL.MODEL_AXIS = 1  # edge/model-parallel mesh size

@@ -68,3 +68,13 @@ def test_config_end_to_end(cfg_path):
     trainer = Trainer(model_cfg, it, TrainSettings.from_cfg(cfg))
     result = trainer.fit(max_iter=10)
     assert np.isfinite(result["best_valid_rmse"])
+
+    # Sampled mini-batch mode (GRAPH_SAMPLER.NUM_NEIGHBORS > 0) runs the
+    # same config end-to-end with the full schedule.
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    settings = TrainSettings.from_cfg(cfg)
+    settings.recon_batch_size = min(settings.recon_batch_size, 16)
+    sampled = SampledTrainer(model_cfg, it, settings, fanout=4)
+    s_result = sampled.fit(max_iter=10, log=lambda *_: None)
+    assert np.isfinite(s_result["best_valid_rmse"])

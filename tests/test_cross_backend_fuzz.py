@@ -80,6 +80,22 @@ def test_all_paths_agree(trial):
         dense_adj=adj, train=False)["pred_ratings"]
     np.testing.assert_allclose(got_d, ref, rtol=2e-4, atol=2e-4)
 
+    # chunked-ELL sparse path (the big-graph backend)
+    from stargcn_tpu.ops.chunked_ell import build_ell_pack
+
+    cfg_e = dataclasses.replace(cfg, backend="ell", ell_k=8, ell_chunk=8)
+    pack = build_ell_pack(gd.edge_user, gd.edge_item, gd.edge_rating,
+                          gd.edge_pad_mask, nu_n, ni_n, K=8)
+    du = jax.ops.segment_sum(gd.edge_pad_mask, gd.edge_user,
+                             num_segments=nu_n)
+    di = jax.ops.segment_sum(gd.edge_pad_mask, gd.edge_item,
+                             num_segments=ni_n)
+    got_e = STARGCN(cfg_e).apply(
+        {"params": params}, gd, gd.edge_pad_mask, nu_j, ni_j, pu, pi,
+        ell_pack=pack, variant_degrees=(du, di),
+        train=False)["pred_ratings"]
+    np.testing.assert_allclose(got_e, ref, rtol=2e-4, atol=2e-4)
+
     # sampled two-phase, fanout = -1 (exact)
     plan = StackedPlan.build(g, cfg, np.asarray(pu), np.asarray(pi),
                              fanout=-1, node_pad=16)

@@ -141,26 +141,78 @@ def test_frontier_cap_exceeded_raises(setup):
                        np.arange(10, dtype=np.int32))
 
 
-def test_sampled_trainer_fit_and_eval(setup):
-    """SampledTrainer: prefetch-threaded fit lowers the loss; exact
-    sampled evaluation returns a clipped-range RMSE."""
-    import jax
+def test_sampled_trainer_full_schedule(setup, tmp_path):
+    """SampledTrainer has Trainer schedule parity: fit with interleaved
+    valid/test evaluation, MetricLogger CSVs, best/last checkpoints, and
+    REMOVE_RATING batch-edge exclusion; loss decreases."""
+    from stargcn_tpu.data.iterators import DataIterator
+    from stargcn_tpu.train.loop import TrainSettings
     from stargcn_tpu.train.sampled_loop import SampledTrainer
 
     g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
-    mean, std = float(csr.values.mean()), float(csr.values.std())
-    trainer = SampledTrainer(
-        cfg, g, params, fanout=4, frontier_caps={"user": 64, "item": 64},
-        batch_size=16, rating_mean=mean, rating_std=std,
-        recon_per_batch=4, lr=1e-2, seed=3)
-    losses = trainer.fit(num_steps=40, log=lambda *_: None,
-                         log_interval=5)
-    assert np.isfinite(losses).all()
-    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
-    pairs = csr.node_pair_ids[:, :30]
-    vals = csr.values[:30]
-    rmse = trainer.evaluate_rmse(pairs, vals, batch_size=16)
-    assert 0 <= rmse <= float(csr.values.max() - csr.values.min())
+    pairs = csr.node_pair_ids
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(pairs.shape[1])
+    it = DataIterator(g, "user", "movie",
+                      test_node_pairs=pairs[:, perm[:40]],
+                      valid_node_pairs=pairs[:, perm[40:80]],
+                      embed_P_mask=0.2, seed=0,
+                      embed_p_zero=1.0, embed_p_self=0.0)
+    s = TrainSettings(rating_batch_size=24, recon_batch_size=8,
+                      max_iter=20, log_interval=5, valid_interval=10,
+                      lr=1e-2, seed=3, remove_rating=True)
+    trainer = SampledTrainer(cfg, it, s, fanout=4,
+                             save_dir=str(tmp_path))
+    assert trainer.do_remove
+    result = trainer.fit(log=lambda *_: None)
+    assert np.isfinite(result["best_valid_rmse"])
+    assert result["best_test_rmse"] is not None
+    for f in ("train_loss0.csv", "valid_loss0.csv", "test_loss0.csv",
+              "ckpt_best_0.msgpack", "ckpt_last_0.msgpack", "net0.txt"):
+        assert (tmp_path / f).exists(), f
+    # checkpoints interchange with the full-graph Trainer param tree
+    trainer.restore_checkpoint(str(tmp_path / "ckpt_best_0.msgpack"))
+
+
+def test_remove_rating_excludes_batch_edges(setup):
+    """With exclude_pairs, the batch edges vanish from every sampled
+    neighborhood and supports reflect the reduced degrees — the sampled
+    plan must equal one built from a graph with those edges removed."""
+    from stargcn_tpu.graph.sampling import BlockSampler
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    batch = csr.node_pair_ids[:, :20]
+    sampler = BlockSampler(g, num_layers=1, fanout=-1,
+                           symm=cfg.agg_norm_symm)
+    keys, rem = sampler.removal_args(batch[0], batch[1])
+    blocks = sampler.sample(np.unique(batch[0]), np.unique(batch[1]),
+                            exclude_keys=keys, removal_counts=rem)
+
+    g_removed = g.remove_edges_by_id("user", "movie", batch)
+    sampler2 = BlockSampler(g_removed, num_layers=1, fanout=-1,
+                            symm=cfg.agg_norm_symm)
+    blocks2 = sampler2.sample(np.unique(batch[0]), np.unique(batch[1]))
+
+    # compare aggregate (dst_id, src_id, weight) multisets per direction
+    def weights_of(b, lvl_idx, t, frontiers):
+        lvl = b.blocks[lvl_idx][t]
+        src_ids = frontiers[lvl_idx][("item" if t == "user" else "user")]
+        dst_ids = frontiers[lvl_idx + 1][t]
+        out = {}
+        for i in range(lvl.nbr_pos.shape[0]):
+            for k in range(lvl.nbr_pos.shape[1]):
+                w = float(lvl.weight[i, k])
+                if w != 0.0:
+                    key = (int(dst_ids[i]), int(src_ids[lvl.nbr_pos[i, k]]))
+                    out[key] = out.get(key, 0.0) + w
+        return out
+
+    for t in ("user", "item"):
+        w1 = weights_of(blocks, 0, t, [f for f in blocks.frontiers])
+        w2 = weights_of(blocks2, 0, t, [f for f in blocks2.frontiers])
+        assert set(w1) == set(w2), t
+        for key in w1:
+            np.testing.assert_allclose(w1[key], w2[key], rtol=1e-5)
 
 
 def test_sampled_pallas_backend_matches(setup):
