@@ -190,10 +190,8 @@ class BlockSampler:
         levels = levels[::-1]
         raw_blocks = raw_blocks[::-1]
         frontiers_padded = []
-        pos_maps = []
         for lvl in levels:
             padded = {}
-            pmap = {}
             for t in ("user", "item"):
                 ids = lvl[t]
                 if self.frontier_caps is not None:
@@ -208,9 +206,7 @@ class BlockSampler:
                 arr = np.full(pad, -1, np.int32)
                 arr[:ids.size] = ids
                 padded[t] = arr
-                pmap[t] = {int(v): i for i, v in enumerate(ids)}
             frontiers_padded.append(padded)
-            pos_maps.append(pmap)
 
         blocks_out = []
         for li, blocks in enumerate(raw_blocks):
@@ -248,15 +244,21 @@ class BlockSampler:
                                          num_dst_real=dst_ids.size)
             blocks_out.append(lvl_blocks)
 
-        # target positions in the TOP (last) frontier
-        top_map = pos_maps[-1]
+        # target positions in the TOP (last) frontier — vectorised (the
+        # targets ARE the top frontier's leading ids by construction)
+        def _positions(ids_arr, query):
+            size = int(max(ids_arr.max(initial=0),
+                           query.max(initial=0))) + 1
+            pos = np.full(size, -1, np.int32)
+            pos[ids_arr] = np.arange(ids_arr.size, dtype=np.int32)
+            return pos[query]
+
+        top = levels[-1]
         tpos = {
-            "user": np.asarray([top_map["user"][int(v)]
-                                for v in np.asarray(target_user_ids)],
-                               np.int32),
-            "item": np.asarray([top_map["item"][int(v)]
-                                for v in np.asarray(target_item_ids)],
-                               np.int32),
+            "user": _positions(top["user"],
+                               np.asarray(target_user_ids, np.int32)),
+            "item": _positions(top["item"],
+                               np.asarray(target_item_ids, np.int32)),
         }
         return SampledBlocks(frontiers=frontiers_padded, blocks=blocks_out,
                              target_pos=tpos)

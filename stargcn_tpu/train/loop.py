@@ -331,9 +331,21 @@ class Trainer:
     def _init_params(self):
         self._rng_key, init_key, drop_key = jax.random.split(self._rng_key, 3)
         B = self.train_batch_padded
+        # Init on a TINY same-dims dummy graph: parameter shapes depend
+        # only on the node/link counts, and tracing the full graph here
+        # would materialise the un-chunked (E, units) message buffer
+        # (10 GB at ML-10M) just to create parameters.
+        cfg = self.model_cfg
+        rng = np.random.RandomState(0)
+        n = 256
+        tiny = BipartiteGraphData.from_arrays(
+            rng.randint(0, cfg.num_users, n),
+            rng.randint(0, cfg.num_items, n),
+            rng.randint(0, cfg.num_links, n),
+            cfg.num_users, cfg.num_items, cfg.num_links, pad_multiple=256)
         dummy = dict(
-            graph=self.graph_data,
-            edge_mask=self.edge_masks["train"],
+            graph=tiny,
+            edge_mask=tiny.edge_pad_mask,
             noise_user=jnp.zeros(self.model_cfg.num_users, jnp.int32),
             noise_item=jnp.zeros(self.model_cfg.num_items, jnp.int32),
             pairs_user=jnp.zeros(B, jnp.int32),
@@ -344,8 +356,11 @@ class Trainer:
                 self.data_iter.all_graph.features["user"])
             dummy["item_features"] = jnp.asarray(
                 self.data_iter.all_graph.features["movie"])
-        variables = self.model.init(
-            {"params": init_key, "dropout": drop_key}, **dummy, train=False)
+        # jit the init: XLA schedules/reuses the trace's intermediate
+        # buffers (eager init materialises each (R, N, units) temp).
+        init_fn = jax.jit(partial(self.model.init, train=False))
+        variables = init_fn(
+            {"params": init_key, "dropout": drop_key}, **dummy)
         return variables["params"]
 
     def _make_optimizer(self):
