@@ -1,26 +1,61 @@
 #!/usr/bin/env python
 """Benchmark: STAR-GCN training-step throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"scenarios": {...}} covering four scenarios:
+
+  ml100k_dense   full training steps, ML-100k-sized graph, dense-MXU
+                 backend (the flagship latency case)       [primary metric]
+  ml10m_ell      full-graph training steps on an ML-10M-sized graph
+                 (69878 x 10677, 10M edges, 10 rating levels) through the
+                 chunked-ELL backend (ops/chunked_ell.py)
+  ml10m_sampled  sampled mini-batch mode on the same graph (fanout 8)
+  pallas_ell     the Pallas fixed-fanout ELL SpMM kernel fwd+bwd on
+                 hardware (re-validates the custom_vjp path outside the
+                 CPU interpret mode the unit tests use)
 
 Metric: aggregated edge-messages/s through the multi-link graph
-convolution during full training steps (forward + backward) on an
-ML-100k-sized synthetic graph (943 users x 1682 items, 100k edges, 5
-rating levels, the flagship 2-block STAR-GCN config).  Edge-messages per
-step = nblocks x layers x directions x E (forward count; the backward
-pass roughly doubles the work but is not double-counted).
+convolution during full training steps (forward + backward + optimizer).
+Edge-messages per step = nblocks x layers x directions x E (forward
+count; the backward pass roughly doubles the work but is not
+double-counted).
 
-The reference repo records no benchmark numbers (BASELINE.md): its CUDA
-harness (seg_ops_cuda/seg_ops.cu) prints machine-local times only.
-``vs_baseline`` is therefore reported against this framework's round-1
-XLA-scatter measurement on the same chip (24.1e6 edge-msg/s for a single
-aggregation layer forward), so improvements are tracked across rounds.
+``vs_baseline`` compares against this framework's round-1 XLA-scatter
+measurement on the same chip (24.1e6 edge-msg/s), tracking progress
+across rounds.
+
+``vs_reference_estimate`` grounds the number against the reference
+implementation (BASELINE.json asks for >=5x the V100 seg_ops rate "or
+estimated from the harness"): the reference repo records no numbers, so
+we roofline-model its hot kernel from the harness shapes
+(seg_ops_cuda/seg_ops.cu:1706 — gather-SpMM, HBM-bound).  The reference
+gathers PROJECTED rows of ``agg_units`` floats per edge message
+(aggregators.py:141-159: FC-then-pool), i.e. 250 * 4 B = 1000 B of HBM
+traffic per edge message; at an optimistic 80% of V100's 900 GB/s that
+is an upper bound of ~720e6 edge-msgs/s — KERNEL-ONLY, with the rest of
+the reference's training step assumed free.  The per-scenario
+``vs_v100_kernel_bound`` divides the measured FULL-STEP rate by that
+kernel-only bound, which makes it a conservative comparison.  (The
+TPU framework's algorithmic edge: the chunked-ELL path aggregates RAW
+features and projects afterwards — linear-equivalent — so it moves only
+(embed_units+1) * 4 B per edge message, ~15x less HBM traffic at the
+same math.)
+
+MFU note: the dense-MXU backend contracts a ~1.3%-nonzero (R, Nu, Ni)
+adjacency at ML-100k scale, so its useful-FLOP fraction (~ MFU) is
+~1-2% — it wins on LATENCY (one big matmul beats E-row scatters), not
+efficiency; the metric to compare across backends is edge-messages/s.
+
+Scenario failures degrade gracefully: the primary metric comes from
+ml100k_dense, other scenarios record {"error": ...} on failure.
+Set STARGCN_BENCH_SCOPE=fast to run only the primary scenario.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
@@ -32,12 +67,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 BASELINE_EDGES_PER_S = 24.1e6  # round-1 single-layer XLA forward, same chip
 
+# V100 roofline for the reference gather-SpMM (see module docstring).
+V100_HBM_EFF = 0.8 * 900e9            # sustained bytes/s
+REF_BYTES_PER_EDGE_MSG = 250 * 4      # gathers projected agg_units rows
+V100_KERNEL_BOUND = V100_HBM_EFF / REF_BYTES_PER_EDGE_MSG  # ~720e6
 
-def main():
+
+def _median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
+def bench_ml100k_dense():
+    """Full training steps, ML-100k-sized synthetic graph, dense-MXU
+    backend, scan-fused dispatch (the production fit() path)."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     import numpy as np
 
     from __graft_entry__ import _make_trainer
@@ -47,9 +90,7 @@ def main():
     E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
     edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
 
-    # k steps fused per dispatch (the production fit() path with
-    # TRAIN.SCAN_STEPS; numerically identical to single steps).
-    K = 10
+    K = 10  # steps fused per dispatch (TRAIN.SCAN_STEPS)
     rating_sampler = trainer.data_iter.rating_sampler(
         trainer.train_batch, "train")
     recon_sampler = trainer.data_iter.recon_nodes_sampler(batch_size=10**6)
@@ -62,16 +103,11 @@ def main():
             cbs.append(trainer.prepare_recon_batch(noise, ids))
         return rbs, cbs
 
-    # compile + warmup (the runtime needs a few executions to reach
-    # steady state)
-    for _ in range(3):
+    for _ in range(3):  # compile + runtime warmup
         rbs, cbs = pull_chunk()
         stats = trainer.train_chunk(rbs, cbs)
     jax.block_until_ready(stats["loss"])
 
-    # Median of 5 timing windows — the TPU runtime shows ~±10%
-    # run-to-run variance.  Host batch prep pipelines with device
-    # compute as in fit().
     windows = []
     for _ in range(5):
         n_chunks = 3
@@ -81,14 +117,227 @@ def main():
             stats = trainer.train_chunk(rbs, cbs)
         jax.block_until_ready(stats["loss"])
         windows.append((time.perf_counter() - t0) / (n_chunks * K))
-    dt = sorted(windows)[len(windows) // 2]
+    dt = _median(windows)
+    rate = edges_per_step / dt
+    return {"edge_msgs_per_s": round(rate, 1),
+            "step_ms": round(dt * 1e3, 3),
+            "backend": cfgm.backend,
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
 
-    edges_per_s = edges_per_step / dt
+
+def _build_ml10m():
+    """Synthetic graph + iterator at the real ML-10M dimensions (cached
+    across scenarios)."""
+    import numpy as np
+
+    from stargcn_tpu.data import DataIterator
+    from stargcn_tpu.data.synthetic import synthetic_graph
+
+    g = synthetic_graph(num_users=69_878, num_items=10_677,
+                        num_edges=10_000_000,
+                        rating_values=tuple(np.arange(0.5, 5.01, 0.5)),
+                        seed=123)
+    csr = g["user", "movie"]
+    rng = np.random.RandomState(123)
+    pairs = csr.node_pair_ids
+    perm = rng.permutation(pairs.shape[1])
+    n_test = pairs.shape[1] // 10
+    it = DataIterator(
+        g, "user", "movie",
+        test_node_pairs=pairs[:, perm[:n_test]],
+        valid_node_pairs=pairs[:, perm[n_test:2 * n_test]],
+        embed_P_mask=0.1, embed_p_zero=0.0, embed_p_self=1.0, seed=123)
+    return g, csr, it
+
+
+_ML10M_CACHE = []
+
+
+def ml10m():
+    if not _ML10M_CACHE:
+        _ML10M_CACHE.append(_build_ml10m())
+    return _ML10M_CACHE[0]
+
+
+def _ml10m_cfg():
+    from stargcn_tpu.utils import cfg_from_file, default_cfg
+
+    cfg = default_cfg()
+    cfg_from_file(os.path.join(ROOT, "configs", "transductive_ml_10m.yml"),
+                  cfg)
+    cfg.DATASET.NAME = "synthetic"
+    return cfg
+
+
+def bench_ml10m_ell(steps=6, scan=3):
+    """Full-graph ML-10M training steps through the chunked-ELL backend."""
+    import jax
+    import numpy as np
+
+    from stargcn_tpu.train import Trainer, build_model_config
+    from stargcn_tpu.train.loop import TrainSettings
+
+    cfg = _ml10m_cfg()
+    cfg.KERNEL.BACKEND = "ell"
+    cfg.TRAIN.SCAN_STEPS = scan
+    _, csr, it = ml10m()
+    model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
+                                   len(csr.multi_link), num_edges=csr.nnz)
+    trainer = Trainer(model_cfg, it, TrainSettings.from_cfg(cfg))
+    rs = it.rating_sampler(batch_size=trainer.train_batch, segment="train")
+    recon = it.recon_nodes_sampler(batch_size=cfg.TRAIN.RECON_BATCH_SIZE)
+
+    def pull():
+        noise_dict, _, all_ids = next(recon)
+        return next(rs), trainer.prepare_recon_batch(noise_dict, all_ids)
+
+    def run_chunk():
+        batches = [pull() for _ in range(scan)]
+        return trainer.train_chunk([b[0] for b in batches],
+                                   [b[1] for b in batches])
+
+    stats = run_chunk()  # compile
+    jax.block_until_ready(stats["loss"])
+    windows = []
+    for _ in range(max(steps // scan, 2)):
+        t0 = time.perf_counter()
+        stats = run_chunk()
+        jax.block_until_ready(stats["loss"])
+        windows.append((time.perf_counter() - t0) / scan)
+    dt = _median(windows)
+    E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
+    edges_per_step = (model_cfg.nblocks * len(model_cfg.agg_units) * 2 * E)
+    rate = edges_per_step / dt
+    return {"edge_msgs_per_s": round(rate, 1),
+            "step_ms": round(dt * 1e3, 1),
+            "backend": model_cfg.backend,
+            "vs_round1_xla_step": round(2.8 / dt, 2),
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
+
+
+def bench_ml10m_sampled(iters=8):
+    """Sampled mini-batch mode on the ML-10M graph (fanout 8)."""
+    import numpy as np
+
+    from stargcn_tpu.train import build_model_config
+    from stargcn_tpu.train.loop import TrainSettings
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    cfg = _ml10m_cfg()
+    cfg.TRAIN.RATING_BATCH_SIZE = 4096
+    cfg.TRAIN.RECON_BATCH_SIZE = 1024
+    _, csr, it = ml10m()
+    model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
+                                   len(csr.multi_link), num_edges=csr.nnz)
+    trainer = SampledTrainer(model_cfg, it, TrainSettings.from_cfg(cfg),
+                             fanout=8)
+    rs = it.rating_sampler(batch_size=trainer.train_batch, segment="train")
+    recon = it.recon_nodes_sampler(batch_size=1024)
+    batch = trainer._make_batch(rs, recon)
+    trainer.train_iteration(batch)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        batch = trainer._make_batch(rs, recon)
+        stats = trainer.train_iteration(batch)
+    float(stats["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    # edge messages actually aggregated = sampled slots with weight > 0
+    plan = batch[0]
+    nnz = sum(int(np.asarray(b.weight > 0).sum())
+              for chain in plan.chains
+              for lvl in chain.blocks for b in lvl.values())
+    # nnz already sums over every block's chain, so no nblocks factor
+    rate = nnz / dt
+    return {"edge_msgs_per_s": round(rate, 1),
+            "step_ms": round(dt * 1e3, 1),
+            "fanout": 8, "batch": int(trainer.train_batch)}
+
+
+def bench_pallas_ell(D=8192, S=8192, K=8, F=256):
+    """Pallas fixed-fanout ELL SpMM kernel fwd + custom-vjp bwd on
+    hardware (tests/test_pallas_kernels.py runs it in interpret mode on
+    CPU only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stargcn_tpu.ops.pallas_kernels import ell_spmm
+
+    rng = np.random.RandomState(0)
+    vals = jnp.asarray(rng.normal(size=(S, F)).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, S, size=(D, K)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0.1, 1, size=(D, K)).astype(np.float32))
+
+    def loss(v):
+        return jnp.sum(ell_spmm(v, idx, w, False) ** 2)
+
+    fwd = jax.jit(lambda v: ell_spmm(v, idx, w, False))
+    grad = jax.jit(jax.grad(loss))
+    out = jax.block_until_ready(fwd(vals))
+    g = jax.block_until_ready(grad(vals))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def timeit(f, x, n=20):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = f(x)
+            jax.block_until_ready(r)
+            ts.append((time.perf_counter() - t0) / n)
+        return _median(ts)
+
+    t_f = timeit(fwd, vals)
+    t_g = timeit(grad, vals)
+    return {"fwd_edge_msgs_per_s": round(D * K / t_f, 1),
+            "fwd_us": round(t_f * 1e6, 1),
+            "fwd_bwd_us": round(t_g * 1e6, 1),
+            "shape": f"D={D} S={S} K={K} F={F}",
+            "grads_finite_on_hw": True}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    fast = os.environ.get("STARGCN_BENCH_SCOPE") == "fast"
+    scenarios = {}
+    plan = [("ml100k_dense", bench_ml100k_dense)]
+    if not fast:
+        plan += [("ml10m_ell", bench_ml10m_ell),
+                 ("ml10m_sampled", bench_ml10m_sampled),
+                 ("pallas_ell", bench_pallas_ell)]
+    for name, fn in plan:
+        t0 = time.time()
+        try:
+            scenarios[name] = fn()
+        except Exception as e:  # degrade, don't lose the primary metric
+            traceback.print_exc()
+            scenarios[name] = {"error": f"{type(e).__name__}: {e}"}
+        scenarios[name]["scenario_wall_s"] = round(time.time() - t0, 1)
+
+    primary = scenarios["ml100k_dense"].get("edge_msgs_per_s", 0.0)
     print(json.dumps({
         "metric": "train_step_edge_messages_per_s",
-        "value": round(edges_per_s, 1),
+        "value": primary,
         "unit": "edge_msgs/s",
-        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+        "vs_baseline": round(primary / BASELINE_EDGES_PER_S, 3),
+        "vs_reference_estimate": round(primary / V100_KERNEL_BOUND, 3),
+        "reference_estimate_note": (
+            "V100 kernel-only roofline upper bound "
+            f"{V100_KERNEL_BOUND/1e6:.0f}M edge-msgs/s (900 GB/s * 0.8 / "
+            "1000 B per gathered projected row); measured value is "
+            "FULL-STEP wall incl. backward+optimizer, so the ratio is "
+            "conservative. See scenarios.* for per-case rates."),
+        "dense_mfu_note": (
+            "dense backend contracts a ~1.3%-nonzero adjacency at "
+            "ML-100k (useful-FLOP fraction ~1-2%): a latency win, not an "
+            "efficiency claim; chunked-ELL (ml10m_ell) is the "
+            "bandwidth-honest big-graph path"),
+        "scenarios": scenarios,
     }))
 
 

@@ -37,7 +37,11 @@ class MultiLinkGCNAggregator(nn.Module):
       (``aggregators.py:133-140``).
     * dropout is applied to the SOURCE features before projection
       (``aggregators.py:131``), so each source node's mask is shared by
-      all its outgoing edges.
+      all its outgoing edges.  Set ``dropout_per_edge`` for the
+      reference's exact granularity — an independent elementwise mask on
+      each GATHERED per-edge row (the reference drops the
+      ``mx.nd.take``n neighbor matrix) — at the cost of an O(E, F)
+      gather, for quality A/B runs (``GCN.DROPOUT_PER_EDGE``).
     * the per-link bias rides through the support-weighted pooling, like
       the reference's FC-then-pool order.
 
@@ -53,6 +57,7 @@ class MultiLinkGCNAggregator(nn.Module):
     accum: str = "stack"
     backend: str = "xla"
     edge_chunk: int | None = None
+    dropout_per_edge: bool = False
 
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
@@ -72,6 +77,42 @@ class MultiLinkGCNAggregator(nn.Module):
             (self.num_links, x_src.shape[-1], link_units))
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_links, link_units))
+
+        if self.dropout_per_edge:
+            # Parity-exact granularity (reference aggregators.py:131):
+            # gather the raw source rows per edge, drop ELEMENTS of the
+            # gathered (E, F) matrix, project per link, support-weighted
+            # segment-sum.  Only the flat-edge formulation can express a
+            # per-edge mask (the dense/ell operands never materialise
+            # per-edge feature rows), so build_model_config forces the
+            # xla backend with this mode.
+            assert dense_static is None and ell_static is None, (
+                "DROPOUT_PER_EDGE requires the flat-edge (xla) backend")
+            msg = jnp.take(x_src, edge_src, axis=0)
+            msg = nn.Dropout(self.dropout_rate,
+                             deterministic=not train)(msg)
+            # The appended UNdropped ones column carries the per-link
+            # bias through the pooling (bias is added after the
+            # reference's FC, so it is never dropped).
+            msg = jnp.concatenate(
+                [msg, jnp.ones_like(msg[:, :1])], axis=-1)
+            msg = msg * support[:, None]
+            seg = edge_dst * self.num_links + edge_rating
+            pooled = jax.ops.segment_sum(
+                msg, seg,
+                num_segments=num_dst * self.num_links).reshape(
+                    num_dst, self.num_links, -1)
+            w_aug = jnp.concatenate([weight, bias[:, None, :]], axis=1)
+            if self.ordinal_sharing:
+                w_aug = jnp.cumsum(w_aug, axis=0)
+            out = jnp.einsum("drf,rfu->dru", pooled, w_aug,
+                             preferred_element_type=jnp.float32
+                             ).astype(x_src.dtype)
+            if self.accum == "stack":
+                out = out.reshape(num_dst, self.num_links * link_units)
+            else:
+                out = out.sum(axis=1)
+            return get_activation(self.act)(out)
 
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x_src)
         if ell_static is not None:

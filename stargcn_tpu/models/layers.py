@@ -125,6 +125,7 @@ class HeterGCNLayer(nn.Module):
     out_act: Optional[str] = None
     backend: str = "xla"
     edge_chunk: Optional[int] = None
+    dropout_per_edge: bool = False
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array],
@@ -148,6 +149,7 @@ class HeterGCNLayer(nn.Module):
                     ordinal_sharing=self.agg_ordinal_sharing,
                     accum=self.agg_accum, backend=self.backend,
                     edge_chunk=self.edge_chunk,
+                    dropout_per_edge=self.dropout_per_edge,
                     name=f"agg_{t}_{s}")
                 pooled.append(dropout(agg(
                     features[s], rel.edge_src, rel.edge_dst,

@@ -77,6 +77,10 @@ class STARGCNConfig:
     ell_k: int = 64
     ell_chunk: int | None = 16384
     ell_bf16: bool = False
+    # Reference-exact dropout granularity: independent mask per GATHERED
+    # edge row (aggregators.py:131) instead of per source node.  Quality
+    # A/B mode; forces the flat-edge backend (see build_model_config).
+    dropout_per_edge: bool = False
     # Noise arrays only ever hold -1 (mask) or the node's own id in every
     # reference experiment (recon sampler: iterators.py:339-358; eval
     # noise: iterators.py:228-236), so the masked embed reduces to an
@@ -269,7 +273,8 @@ class STARGCN(nn.Module):
                  agg_ordinal_sharing=cfg.agg_ordinal_sharing,
                  agg_accum=cfg.agg_accum, agg_act=cfg.activation,
                  out_act=cfg.activation, backend=cfg.backend,
-                 edge_chunk=cfg.edge_chunk)
+                 edge_chunk=cfg.edge_chunk,
+                 dropout_per_edge=cfg.dropout_per_edge)
             for au, ou in zip(cfg.agg_units, cfg.out_units)
         ]
         recurrent_depth = (len(cfg.agg_units)

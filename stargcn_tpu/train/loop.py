@@ -72,6 +72,11 @@ def build_model_config(cfg, num_users, num_items, num_links,
     """Translate the experiment config tree into a STARGCNConfig."""
     backend = resolve_backend(cfg.KERNEL.BACKEND, num_links,
                               num_users, num_items)
+    dropout_per_edge = cfg.GCN.get("DROPOUT_PER_EDGE", False)
+    if dropout_per_edge and backend != "xla":
+        logging.warning("GCN.DROPOUT_PER_EDGE forces the flat-edge "
+                        "(xla) backend (was %r)", backend)
+        backend = "xla"
     return STARGCNConfig(
         num_users=num_users, num_items=num_items, num_links=num_links,
         use_embed=cfg.MODEL.USE_EMBED,
@@ -98,6 +103,7 @@ def build_model_config(cfg, num_users, num_items, num_links,
         ell_k=cfg.KERNEL.get("ELL_K", 64),
         ell_chunk=cfg.KERNEL.get("ELL_CHUNK", 16384),
         ell_bf16=cfg.KERNEL.get("ELL_BF16", False),
+        dropout_per_edge=dropout_per_edge,
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
 
@@ -606,6 +612,12 @@ class Trainer:
         recon_sampler = (it.recon_nodes_sampler(
             batch_size=s.recon_batch_size) if s.use_dae else None)
 
+        if self.save_dir is not None:
+            # net%d.txt architecture dump (reference gluon_net_info,
+            # STAR-GCN.py:636 / mxgraph/utils.py:88-101).
+            from stargcn_tpu.utils.model_info import model_info
+            model_info(self.params, os.path.join(
+                self.save_dir, f"net{self.save_id}.txt"))
         loggers = self._make_metric_loggers()
         best_valid_rmse = np.inf
         best_test_rmse = None

@@ -88,6 +88,10 @@ def default_cfg() -> EasyDict:
     cfg.GCN = EasyDict()
     cfg.GCN.TYPE = "gcn"
     cfg.GCN.DROPOUT = 0.7
+    # TPU-framework extension: reference-exact per-gathered-edge dropout
+    # mask (aggregators.py:131) instead of per-source-node; forces the
+    # flat-edge backend.  For quality A/B runs.
+    cfg.GCN.DROPOUT_PER_EDGE = False
     cfg.GCN.USE_RECURRENT = False
     cfg.GCN.AGG = EasyDict()
     cfg.GCN.AGG.NORM_SYMM = True

@@ -117,3 +117,67 @@ def test_edge_chunked_xla_matches(rng):
         p, *args, ND, accum="sum", backend="xla",
         edge_chunk=64).sum())(jnp.asarray(proj))
     np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("accum", ["stack", "sum"])
+@pytest.mark.parametrize("ordinal", [False, True])
+def test_per_edge_dropout_mode_matches_at_eval(rng, accum, ordinal):
+    """DROPOUT_PER_EDGE (reference aggregators.py:131 granularity) is a
+    different TRAIN-time distribution but must be EXACTLY the standard
+    flat-edge path when dropout is inactive (eval / rate in effect 0)."""
+    import jax
+    from stargcn_tpu.models.aggregators import MultiLinkGCNAggregator
+
+    num_src, num_dst, R, E, U = 11, 8, 3, 50, 6
+    es, ed, er, sup = make_edges(rng, num_src, num_dst, R, E)
+    x = jnp.asarray(rng.normal(size=(num_src, 5)).astype(np.float32))
+    kw = dict(units=U * R if accum == "stack" else U, num_links=R,
+              act="leaky", dropout_rate=0.4, ordinal_sharing=ordinal,
+              accum=accum)
+    base = MultiLinkGCNAggregator(**kw)
+    per_edge = MultiLinkGCNAggregator(**kw, dropout_per_edge=True)
+    args = (x, jnp.asarray(es), jnp.asarray(ed), jnp.asarray(er),
+            jnp.asarray(sup))
+    params = base.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)},
+                       *args, num_dst, train=False)["params"]
+    out_base = base.apply({"params": params}, *args, num_dst, train=False)
+    out_pe = per_edge.apply({"params": params}, *args, num_dst,
+                            train=False)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_pe),
+                               rtol=1e-5, atol=1e-5)
+
+    # train=True: masks are per GATHERED edge row — different draws give
+    # different outputs, and repeat source gathers are dropped
+    # independently (two edges from the same source need not share a
+    # mask, unlike the per-source-node mode).
+    o1 = per_edge.apply({"params": params}, *args, num_dst, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    o2 = per_edge.apply({"params": params}, *args, num_dst, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    # gradients flow through the per-edge branch
+    def loss(p):
+        return jnp.sum(per_edge.apply(
+            {"params": p}, *args, num_dst, train=True,
+            rngs={"dropout": jax.random.PRNGKey(4)}) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in flat)
+    assert any(np.any(l != 0) for l in flat)
+
+
+def test_dropout_per_edge_forces_xla_backend():
+    """build_model_config must pin the flat-edge backend when the
+    per-edge dropout parity mode is requested."""
+    from stargcn_tpu.train.loop import build_model_config
+    from stargcn_tpu.utils import default_cfg
+
+    cfg = default_cfg()
+    cfg.KERNEL.BACKEND = "dense"
+    cfg.GCN.DROPOUT_PER_EDGE = True
+    mc = build_model_config(cfg, 30, 20, 3, num_edges=100)
+    assert mc.backend == "xla"
+    assert mc.dropout_per_edge

@@ -107,3 +107,44 @@ def test_fallback_contract_matches_native(chain_graph):
         assert {int(mi[i]) for i in de} == {0, 2}
     finally:
         km._native = saved
+
+
+def test_uniform_neg_sampling_distribution():
+    """Negatives must be (near-)uniform over the non-neighbor set.
+
+    The native swap-pool construction (graph_kernels.cpp
+    py_uniform_neg_sampling) is intricate; this checks the
+    DISTRIBUTION, not just the non-neighbor property: over many draws,
+    each valid negative of a node should appear with frequency within a
+    tight band of uniform.
+    """
+    # star-ish graph: node 0 connects to 1,2; nodes 3..22 are the
+    # candidate negatives (20 of them).
+    n = 23
+    ep = np.array([1, 2], np.int32)
+    ptr = np.zeros(n + 1, np.int32)
+    ptr[1:] = 2  # only node 0 has neighbors
+    tgt = np.array([0], np.int32)
+    counts = np.zeros(n, np.int64)
+    trials = 4000
+    K.set_seed(1234)
+    for _ in range(trials):
+        e, p, label, cnt = K.uniform_neg_sampling(
+            ep, ptr, tgt, node_num=n, neg_sample_scale=1.0, replace=False)
+        negs = e[label == -1]  # negatives are labeled -1
+        # negatives are non-neighbors and not duplicated within a draw
+        assert np.unique(negs).size == negs.size
+        for v in negs:
+            assert v not in (1, 2)
+            counts[v] += 1
+    cand = np.concatenate([[0], np.arange(3, n)])  # non-neighbors of 0
+    got = counts[cand]
+    total = got.sum()
+    assert total > 0
+    expected = total / cand.size
+    # chi-square-style sanity: every candidate drawn, and no candidate's
+    # frequency deviates more than 25% from uniform (with ~4000 draws
+    # over 21 candidates, a uniform sampler sits well inside this band).
+    assert np.all(got > 0)
+    assert np.all(np.abs(got - expected) < 0.25 * expected), (
+        got, expected)
