@@ -30,6 +30,12 @@ def has_native() -> bool:
     return _native is not None
 
 
+def native_module():
+    """The raw C extension module (or None) — for callers needing
+    exports without a NumPy-fallback wrapper here."""
+    return _native
+
+
 def set_seed(seed: int) -> None:
     """Seed the native sampler engines (reference ``py_ext.cpp`` ``set_seed``
     → 128 seeded mt19937 engines, ``graph_sampler.h:176-202``) and the

@@ -754,6 +754,142 @@ PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
                      make_i32(merged_ids), make_i32(sel_in_merged)});
 }
 
+// Chunked-ELL packing for the big-graph device backend
+// (ops/chunked_ell.py): split each destination's edge segment into
+// width-K virtual rows.  The NumPy reference implementation
+// (build_chunked_ell) argsorts 10M-edge arrays in ~20 s per direction;
+// this is a stable counting placement in O(E): deg histogram -> row
+// offsets -> one ordered pass placing each edge at
+// (row_offset[dst] + rank/K, rank%K).  Returns FLAT arrays
+// (src_idx (V_pad*K,), rating (V_pad*K,), row_dst (V_pad,), V_pad) —
+// the Python wrapper reshapes.  Padded slots hold the ``num_src``
+// sentinel / rating 0, padded rows dst 0, matching the NumPy packer
+// bit-for-bit (placement order is the input edge order, as with the
+// stable argsort).
+PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
+  PyObject *src_obj, *dst_obj, *rat_obj, *mask_obj;
+  int num_src, num_dst, K, row_pad;
+  if (!PyArg_ParseTuple(args, "OOOOiiii", &src_obj, &dst_obj, &rat_obj,
+                        &mask_obj, &num_src, &num_dst, &K, &row_pad))
+    return nullptr;
+  I32View src, dst, rat;
+  if (!as_i32(src_obj, &src)) return nullptr;
+  if (!as_i32(dst_obj, &dst)) { Py_DECREF(src.arr); return nullptr; }
+  if (!as_i32(rat_obj, &rat)) {
+    Py_DECREF(src.arr); Py_DECREF(dst.arr); return nullptr;
+  }
+  F32View mask{nullptr, nullptr, 0};
+  bool has_mask = (mask_obj != Py_None);
+  if (has_mask && !as_f32(mask_obj, &mask)) {
+    Py_DECREF(src.arr); Py_DECREF(dst.arr); Py_DECREF(rat.arr);
+    return nullptr;
+  }
+  const npy_intp E = src.size;
+  auto release_inputs = [&]() {
+    Py_DECREF(src.arr); Py_DECREF(dst.arr); Py_DECREF(rat.arr);
+    if (has_mask) Py_DECREF(mask.arr);
+  };
+  if (dst.size != E || rat.size != E || (has_mask && mask.size != E) ||
+      K <= 0 || row_pad <= 0 || num_dst < 0 || num_src < 0) {
+    release_inputs();
+    PyErr_SetString(PyExc_ValueError,
+                    "build_chunked_ell: shape/argument mismatch");
+    return nullptr;
+  }
+
+  // 1. masked degree histogram per destination (parallel partials)
+  std::vector<int64_t> deg(static_cast<size_t>(num_dst), 0);
+  {
+    const int nt = num_threads_capped();
+    std::vector<std::vector<int64_t>> part(
+        nt, std::vector<int64_t>(static_cast<size_t>(num_dst), 0));
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+    {
+      std::vector<int64_t>& my = part[omp_get_thread_num()];
+#pragma omp for
+      for (npy_intp i = 0; i < E; ++i) {
+        if (!has_mask || mask.data[i] > 0.0f) ++my[dst.data[i]];
+      }
+    }
+#else
+    for (npy_intp i = 0; i < E; ++i) {
+      if (!has_mask || mask.data[i] > 0.0f) ++part[0][dst.data[i]];
+    }
+#endif
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+    for (int d = 0; d < num_dst; ++d) {
+      int64_t s = 0;
+      for (int t = 0; t < nt; ++t) s += part[t][d];
+      deg[d] = s;
+    }
+  }
+
+  // 2. virtual-row offsets
+  std::vector<int64_t> row_offset(static_cast<size_t>(num_dst) + 1, 0);
+  int64_t n_real = 0;
+  for (int d = 0; d < num_dst; ++d) {
+    row_offset[d + 1] = row_offset[d] + (deg[d] + K - 1) / K;
+    n_real += deg[d];
+  }
+  const int64_t V = row_offset[num_dst];
+  int64_t V_pad = ((V + row_pad - 1) / row_pad) * row_pad;
+  if (V_pad < row_pad) V_pad = row_pad;
+
+  npy_intp slot_dims[1] = {static_cast<npy_intp>(V_pad) * K};
+  npy_intp row_dims[1] = {static_cast<npy_intp>(V_pad)};
+  PyObject* idx_arr = PyArray_SimpleNew(1, slot_dims, NPY_INT32);
+  PyObject* rat_arr = PyArray_SimpleNew(1, slot_dims, NPY_INT32);
+  PyObject* row_arr = PyArray_SimpleNew(1, row_dims, NPY_INT32);
+  if (!idx_arr || !rat_arr || !row_arr) {
+    release_inputs();
+    Py_XDECREF(idx_arr); Py_XDECREF(rat_arr); Py_XDECREF(row_arr);
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return nullptr;
+  }
+  int32_t* idx_out = static_cast<int32_t*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(idx_arr)));
+  int32_t* rat_out = static_cast<int32_t*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(rat_arr)));
+  int32_t* row_out = static_cast<int32_t*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(row_arr)));
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t s = 0; s < V_pad * K; ++s) {
+    idx_out[s] = num_src;  // zero-row sentinel
+    rat_out[s] = 0;
+  }
+
+  // 3. ordered placement (sequential pass keeps the stable edge order
+  // of the NumPy packer; O(E) and memory-bound, ~100 ms at 10M edges)
+  std::vector<int64_t> cursor(static_cast<size_t>(num_dst), 0);
+  for (npy_intp i = 0; i < E; ++i) {
+    if (has_mask && !(mask.data[i] > 0.0f)) continue;
+    const int32_t d = dst.data[i];
+    const int64_t r = cursor[d]++;
+    const int64_t s = (row_offset[d] + r / K) * K + (r % K);
+    idx_out[s] = src.data[i];
+    rat_out[s] = rat.data[i];
+  }
+
+  // 4. virtual-row -> destination map (padded rows: 0)
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int d = 0; d < num_dst; ++d) {
+    for (int64_t v = row_offset[d]; v < row_offset[d + 1]; ++v)
+      row_out[v] = d;
+  }
+  for (int64_t v = V; v < V_pad; ++v) row_out[v] = 0;
+
+  release_inputs();
+  return pack_steal({idx_arr, rat_arr, row_arr,
+                     PyLong_FromLongLong(n_real)});
+}
+
 PyMethodDef kMethods[] = {
     {"random_walk", py_random_walk, METH_VARARGS,
      "KDD'06 random-walk subgraph sampling -> (src, dst) edges."},
@@ -784,6 +920,8 @@ PyMethodDef kMethods[] = {
      "Fixed-fanout neighbor sampling without replacement."},
     {"remove_edges_by_indices", py_remove_edges, METH_VARARGS,
      "Edge removal -> (new indptr, keep mask)."},
+    {"build_chunked_ell", py_build_chunked_ell, METH_VARARGS,
+     "Pack (masked) COO edges into width-K chunked-ELL virtual rows."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_graph_kernels",

@@ -69,16 +69,43 @@ class EllArrays:
 
 
 def build_chunked_ell(edge_src, edge_dst, edge_rating, num_src, num_dst,
-                      K: int = 64, row_pad: int = 8) -> EllArrays:
-    """Pack COO edges (real edges only) into width-K virtual rows.
+                      K: int = 64, row_pad: int = 8,
+                      mask=None) -> EllArrays:
+    """Pack COO edges into width-K virtual rows.
 
-    Edges are grouped by destination (stable sort keeps CSR order within
-    a node); each destination's segment is split into ``ceil(deg/K)``
-    rows.  ``V`` is padded to a multiple of ``row_pad``.
+    Edges are grouped by destination (stable order keeps CSR order
+    within a node); each destination's segment is split into
+    ``ceil(deg/K)`` rows.  ``V`` is padded to a multiple of ``row_pad``.
+    ``mask`` (optional float array, >0 = keep) filters edges without
+    materialising filtered copies.
+
+    Dispatches to the native O(E) counting packer when the C++
+    extension is available (the NumPy argsort path takes ~20 s per
+    direction at 10M edges; the native one ~0.5 s), with the NumPy
+    implementation as the cross-checked fallback
+    (``tests/test_chunked_ell.py``).
     """
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_rating = np.asarray(edge_rating, np.int32)
+
+    from stargcn_tpu.graph import kernels as _K
+
+    native = _K.native_module()
+    if native is not None and hasattr(native, "build_chunked_ell"):
+        m = None if mask is None else np.ascontiguousarray(mask, np.float32)
+        idx, rat, row, n_real = native.build_chunked_ell(
+            edge_src, edge_dst, edge_rating, m,
+            int(num_src), int(num_dst), int(K), int(row_pad))
+        return EllArrays(src_idx=idx.reshape(-1, K),
+                         rating=rat.reshape(-1, K), row_dst=row,
+                         num_src=int(num_src), num_dst=int(num_dst),
+                         num_real_edges=int(n_real))
+
+    if mask is not None:
+        mm = np.asarray(mask) > 0
+        edge_src, edge_dst, edge_rating = (
+            edge_src[mm], edge_dst[mm], edge_rating[mm])
     E = edge_src.size
 
     order = np.argsort(edge_dst, kind="stable")
@@ -115,14 +142,12 @@ def build_ell_pack(edge_user, edge_item, edge_rating, edge_mask,
     jnp-array dict the model consumes (``STARGCN.__call__ ell_pack``)."""
     import jax.numpy as jnp
 
-    mm = np.asarray(edge_mask) > 0
-    eu = np.asarray(edge_user)[mm]
-    ei = np.asarray(edge_item)[mm]
-    er = np.asarray(edge_rating)[mm]
-    pack_u = build_chunked_ell(ei, eu, er, num_src=num_items,
-                               num_dst=num_users, K=K)
-    pack_i = build_chunked_ell(eu, ei, er, num_src=num_users,
-                               num_dst=num_items, K=K)
+    pack_u = build_chunked_ell(edge_item, edge_user, edge_rating,
+                               num_src=num_items, num_dst=num_users, K=K,
+                               mask=edge_mask)
+    pack_i = build_chunked_ell(edge_user, edge_item, edge_rating,
+                               num_src=num_users, num_dst=num_items, K=K,
+                               mask=edge_mask)
     return {t: {"idx": jnp.asarray(p.src_idx),
                 "rat": jnp.asarray(p.rating),
                 "row": jnp.asarray(p.row_dst)}

@@ -206,3 +206,36 @@ def test_trainer_ell_backend_end_to_end(tmp_path):
     result = tr.fit()
     assert np.isfinite(result["best_valid_rmse"])
     assert result["best_test_rmse"] is not None
+
+
+def test_native_packer_matches_numpy():
+    """The C++ O(E) counting packer (graph_kernels.cpp
+    py_build_chunked_ell) must match the NumPy argsort packer
+    bit-for-bit, including mask filtering and row/slot padding."""
+    import stargcn_tpu.graph.kernels as km
+    from stargcn_tpu.ops.chunked_ell import build_chunked_ell
+
+    if km.native_module() is None or not hasattr(
+            km.native_module(), "build_chunked_ell"):
+        pytest.skip("native ext not built")
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        E = rng.randint(1, 300)
+        ns, nd = rng.randint(1, 25), rng.randint(1, 25)
+        es = rng.randint(0, ns, E).astype(np.int32)
+        ed = rng.randint(0, nd, E).astype(np.int32)
+        er = rng.randint(0, 4, E).astype(np.int32)
+        mask = ((rng.uniform(size=E) > 0.3).astype(np.float32)
+                if trial % 2 else None)
+        K = int(rng.choice([3, 8, 64]))
+        a = build_chunked_ell(es, ed, er, ns, nd, K=K, mask=mask)
+        saved = km._native
+        km._native = None
+        try:
+            b = build_chunked_ell(es, ed, er, ns, nd, K=K, mask=mask)
+        finally:
+            km._native = saved
+        np.testing.assert_array_equal(a.src_idx, b.src_idx)
+        np.testing.assert_array_equal(a.rating, b.rating)
+        np.testing.assert_array_equal(a.row_dst, b.row_dst)
+        assert a.num_real_edges == b.num_real_edges
