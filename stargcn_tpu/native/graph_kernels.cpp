@@ -883,7 +883,11 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
     for (int64_t v = row_offset[d]; v < row_offset[d + 1]; ++v)
       row_out[v] = d;
   }
-  for (int64_t v = V; v < V_pad; ++v) row_out[v] = 0;
+  // Padded rows keep row ids non-decreasing (consumers pass
+  // indices_are_sorted to the segment sum); their slots are all
+  // sentinels, so they contribute nothing to the last segment.
+  const int32_t pad_row = num_dst > 0 ? num_dst - 1 : 0;
+  for (int64_t v = V; v < V_pad; ++v) row_out[v] = pad_row;
 
   release_inputs();
   return pack_steal({idx_arr, rat_arr, row_arr,

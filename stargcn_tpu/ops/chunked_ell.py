@@ -26,6 +26,15 @@ the aggregation so NO O(E) scatter appears in forward or backward:
    instance of steps 2-3 — mirroring how the reference registers
    seg-op adjoints in terms of each other (``seg_op.cc:647-712``).
 
+   (Measured dead end, kept for the record: a RATING-MAJOR backward —
+   rows grouped (rating, src) so each pass gathers from one VMEM-sized
+   (num_dst, F) cotangent slice — was tried to speed the flat
+   (num_dst*R, F) table gather, and REGRESSED ML-10M steps 455->533 ms
+   even with bf16 tables and slot-matched chunking: the per-op gather
+   times in the profile are heavily overlapped by the runtime, and the
+   R-pass scan's extra sequential structure + per-pass table slices
+   cost more than the big-table gather ever did.)
+
 Degree normalisation stays OUTSIDE these ops as separable scale vectors
 (``support = dst_scale * src_scale`` for the symmetric norm), so the ELL
 arrays are static per graph variant and per-batch edge removal is a
@@ -56,8 +65,9 @@ class EllArrays:
     ``src_idx[v, k]`` indexes the source-type nodes (``num_src`` = the
     zero-row sentinel for padded slots), ``rating[v, k]`` the rating
     level (0 on padded slots), ``row_dst[v]`` the destination node of
-    virtual row ``v`` (non-decreasing; 0 on padded rows, whose slots are
-    all sentinels and contribute nothing).
+    virtual row ``v`` (non-decreasing; ``num_dst - 1`` on padded rows —
+    keeps the sorted-segment contract — whose slots are all sentinels
+    and contribute nothing).
     """
 
     src_idx: np.ndarray   # (V, K) int32
@@ -124,7 +134,8 @@ def build_chunked_ell(edge_src, edge_dst, edge_rating, num_src, num_dst,
 
     src_idx = np.full((V_pad, K), num_src, np.int32)   # sentinel zero-row
     rating = np.zeros((V_pad, K), np.int32)
-    row_dst = np.zeros(V_pad, np.int32)
+    # padded rows -> last segment id (keeps row_dst non-decreasing)
+    row_dst = np.full(V_pad, max(num_dst - 1, 0), np.int32)
     src_idx[v_row, slot] = edge_src[order]
     rating[v_row, slot] = edge_rating[order]
     valid_rows = rows_per_dst > 0
@@ -139,7 +150,8 @@ def build_chunked_ell(edge_src, edge_dst, edge_rating, num_src, num_dst,
 def build_ell_pack(edge_user, edge_item, edge_rating, edge_mask,
                    num_users, num_items, K: int = 64):
     """Both directions' ELL arrays for one graph variant, as the
-    jnp-array dict the model consumes (``STARGCN.__call__ ell_pack``)."""
+    jnp-array dict the model consumes (``STARGCN.__call__ ell_pack``);
+    each direction's arrays double as the other's backward arrays."""
     import jax.numpy as jnp
 
     pack_u = build_chunked_ell(edge_item, edge_user, edge_rating,
@@ -192,14 +204,18 @@ def _pool_rated_impl(x_pad, src_idx, rating, row_dst, num_dst, R, chunk):
     return pooled.reshape(num_dst, R, F).astype(x_pad.dtype)
 
 
-def _pool_flat_impl(table_pad, flat_idx, row_dst, num_rows, chunk):
+def _pool_flat_impl(table_pad, flat_idx, row_dst, num_rows, chunk,
+                    acc_dtype=None):
     """out[s, f] = sum over slots (v in rows(s), k) of
-    table_pad[flat_idx[v,k], f] — the rating-folded pool used by the
-    backward pass (rating routing is already inside ``flat_idx``)."""
+    table_pad[flat_idx[v,k], f] — the flat pool used by the backward
+    pass; ``acc_dtype`` upcasts the per-row partial sums (bf16 gathers
+    accumulate in f32)."""
     V, K = flat_idx.shape
+    acc_dtype = acc_dtype or table_pad.dtype
 
     def partial_of(idx_c):
-        return jnp.take(table_pad, idx_c, axis=0).sum(axis=1)
+        return jnp.take(table_pad, idx_c,
+                        axis=0).astype(acc_dtype).sum(axis=1)
 
     if chunk is not None and chunk < V:
         n_chunks = -(-V // chunk)

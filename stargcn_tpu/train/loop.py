@@ -54,13 +54,15 @@ def resolve_backend(backend: str, num_links, num_users, num_items) -> str:
     return "dense" if entries <= 150_000_000 else "ell"
 
 
-def resolve_edge_chunk(backend, num_edges, agg_units):
-    """Bound the xla path's (E, units) message buffer to ~1.5 GB by
-    processing edges in rematerialised chunks on big graphs."""
+def resolve_edge_chunk(backend, num_edges, agg_units,
+                       budget_mb: int = 1500):
+    """Bound the xla path's (E, units) message buffer to ``budget_mb``
+    (KERNEL.XLA_MSG_BUDGET_MB, default ~1.5 GB) by processing edges in
+    rematerialised chunks on big graphs."""
     if backend != "xla" or not num_edges:
         return None
     units = max(agg_units)
-    budget = int(1.5e9)
+    budget = int(budget_mb) * 10**6
     if num_edges * units * 4 <= budget:
         return None
     chunk = max(budget // (units * 4), 65536)
@@ -98,14 +100,36 @@ def build_model_config(cfg, num_users, num_items, num_links,
         out_units=tuple(cfg.GCN.OUT.UNITS),
         gen_rating_mid_map=cfg.GEN_RATING.MID_MAP,
         backend=backend,
-        edge_chunk=resolve_edge_chunk(backend, num_edges,
-                                      tuple(cfg.GCN.AGG.UNITS)),
+        edge_chunk=resolve_edge_chunk(
+            backend, num_edges, tuple(cfg.GCN.AGG.UNITS),
+            budget_mb=cfg.KERNEL.get("XLA_MSG_BUDGET_MB", 1500)),
         ell_k=cfg.KERNEL.get("ELL_K", 64),
         ell_chunk=cfg.KERNEL.get("ELL_CHUNK", 16384),
         ell_bf16=cfg.KERNEL.get("ELL_BF16", False),
         dropout_per_edge=dropout_per_edge,
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
+
+
+class _LazyEllPacks:
+    """Per-variant chunked-ELL packs, built (and cached) on first use."""
+
+    def __init__(self, graph_data, model_cfg):
+        self._g = graph_data
+        self._cfg = model_cfg
+        self._cache = {}
+
+    def get(self, variant, mask):
+        if variant not in self._cache:
+            from stargcn_tpu.ops.chunked_ell import build_ell_pack
+
+            g = self._g
+            pad = np.asarray(g.edge_pad_mask)
+            self._cache[variant] = build_ell_pack(
+                g.edge_user, g.edge_item, g.edge_rating,
+                np.asarray(mask) * pad, self._cfg.num_users,
+                self._cfg.num_items, K=self._cfg.ell_k)
+        return self._cache[variant]
 
 
 @dataclasses.dataclass
@@ -247,19 +271,12 @@ class Trainer:
             self.dense_adj = {k: build(v)
                               for k, v in self.edge_masks.items()}
         if model_cfg.backend == "ell":
-            # Static per-variant chunked-ELL packs (ops/chunked_ell.py):
-            # both directions share the masked edge set; each direction's
-            # arrays double as the other's backward arrays.
-            from stargcn_tpu.ops.chunked_ell import build_ell_pack
-
-            g = self.graph_data
-            pad = np.asarray(g.edge_pad_mask)
-            self.ell_packs = {
-                k: build_ell_pack(
-                    g.edge_user, g.edge_item, g.edge_rating,
-                    np.asarray(m) * pad, model_cfg.num_users,
-                    model_cfg.num_items, K=model_cfg.ell_k)
-                for k, m in self.edge_masks.items()}
+            # Static per-variant chunked-ELL packs (ops/chunked_ell.py),
+            # built LAZILY per variant: the train pack is needed
+            # immediately, the valid/test packs only at the first
+            # evaluation — and each variant is ~300 MB of device
+            # transfers at ML-10M scale, which dominates construction.
+            self.ell_packs = _LazyEllPacks(self.graph_data, model_cfg)
         if model_cfg.backend in ("dense", "ell"):
             eu = np.asarray(self.graph_data.edge_user)
             ei = np.asarray(self.graph_data.edge_item)
@@ -439,8 +456,9 @@ class Trainer:
                 if self.variant_degrees is not None else None)
 
     def _ell_pack(self, variant):
-        return (self.ell_packs[variant]
-                if self.ell_packs is not None else None)
+        if self.ell_packs is None:
+            return None
+        return self.ell_packs.get(variant, self.edge_masks[variant])
 
     def train_iteration(self, rating_batch, recon_batch):
         """One optimisation step.  Returns device-side stats dict."""

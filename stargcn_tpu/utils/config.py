@@ -127,6 +127,7 @@ def default_cfg() -> EasyDict:
     cfg.KERNEL.ELL_K = 64        # chunked-ELL virtual-row width
     cfg.KERNEL.ELL_CHUNK = 16384  # rematerialised row-chunk size
     cfg.KERNEL.ELL_BF16 = False  # bf16 gather/contract in the ell path
+    cfg.KERNEL.XLA_MSG_BUDGET_MB = 1500  # xla-path message-buffer bound
     cfg.PARALLEL = EasyDict()
     cfg.PARALLEL.DATA_AXIS = 1   # data-parallel mesh size
     cfg.PARALLEL.MODEL_AXIS = 1  # edge/model-parallel mesh size
