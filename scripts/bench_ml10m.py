@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--batch", type=int, default=100_000)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--ell_k", type=int, default=64)
+    ap.add_argument("--ell_chunk", type=int, default=None,
+                    help="rematerialised row-chunk size (default: cfg)")
     ap.add_argument("--scan", type=int, default=1,
                     help="steps fused per dispatch")
     ap.add_argument("--platform", default=None)
@@ -61,6 +63,8 @@ def main():
                   cfg)
     cfg.KERNEL.BACKEND = args.backend
     cfg.KERNEL.ELL_K = args.ell_k
+    if args.ell_chunk is not None:
+        cfg.KERNEL.ELL_CHUNK = args.ell_chunk
     cfg.KERNEL.ELL_BF16 = bool(args.bf16)
     cfg.TRAIN.RATING_BATCH_SIZE = args.batch
     cfg.TRAIN.SCAN_STEPS = args.scan
