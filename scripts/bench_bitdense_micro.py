@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Microbench: Pallas bit-packed dense aggregation at ML-10M scale.
+
+Times ``ops/bitdense.py``'s K1/K2 kernels and the full custom-vjp pool
+per direction, on random packed bits (timing is density-independent).
+
+Usage::
+
+    python scripts/bench_bitdense_micro.py [--units 65] [--reps 10]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(ROOT, ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=69_878)
+    ap.add_argument("--items", type=int, default=10_677)
+    ap.add_argument("--ratings", type=int, default=10)
+    ap.add_argument("--units", type=int, default=65)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+
+    from stargcn_tpu.ops import bitdense as bd
+
+    R, F = args.ratings, args.units
+
+    # ---- correctness probe: compiled Pallas vs XLA unpack, small graph
+    import numpy as np
+
+    nrng = np.random.RandomState(0)
+    Dp, Sp, Rp = 1000, 900, 3
+    dst = nrng.randint(0, Dp, 5000).astype(np.int32)
+    src = nrng.randint(0, Sp, 5000).astype(np.int32)
+    rat = nrng.randint(0, Rp, 5000).astype(np.int32)
+    Pp, d8p = bd.pack_bits(dst, src, rat, Rp, Dp, Sp)
+    xs = jnp.asarray(nrng.randn(Pp.shape[1], F).astype(np.float32))
+    got = jax.jit(lambda p, x: bd.bit_expand_matmul(p, x, Rp, d8p))(
+        jnp.asarray(Pp), xs)
+    want = jax.jit(lambda p, x: bd.xla_expand_matmul(
+        p, x.astype(jnp.bfloat16), Rp, d8p))(jnp.asarray(Pp), xs)
+    err = float(jnp.max(jnp.abs(got - want)))
+    print(f"K1 correctness: max|pallas-xla| = {err:.3e}", flush=True)
+    Pt, s8p = bd.pack_bits(src, dst, rat, Rp, Sp, Dp)
+    gt = jnp.asarray(nrng.randn(Rp, Pt.shape[1], F).astype(np.float32))
+    got2 = jax.jit(lambda p, g: bd.bit_reduce_matmul(p, g, Rp, s8p))(
+        jnp.asarray(Pt), gt)
+    want2 = jax.jit(lambda p, g: bd.xla_reduce_matmul(
+        p, g.astype(jnp.bfloat16), Rp, s8p))(jnp.asarray(Pt), gt)
+    err2 = float(jnp.max(jnp.abs(got2 - want2)))
+    print(f"K2 correctness: max|pallas-xla| = {err2:.3e}", flush=True)
+    u_pad = bd.node_pad(args.users)
+    i_pad = bd.node_pad(args.items)
+    d8_u, d8_i = u_pad // 8, i_pad // 8
+    key = jax.random.PRNGKey(0)
+    pa = jax.random.bits(key, (R * d8_u, i_pad), jnp.uint8)   # users packed
+    pb = jax.random.bits(key, (R * d8_i, u_pad), jnp.uint8)   # items packed
+    x_i = jax.random.normal(key, (i_pad, F), jnp.float32)
+    x_u = jax.random.normal(key, (u_pad, F), jnp.float32)
+    print(f"P_A {pa.shape} ({pa.size / 1e6:.0f} MB)  P_B {pb.shape}",
+          flush=True)
+
+    def timeit(name, fn, *xs):
+        f = jax.jit(fn)
+        t0 = time.time()
+        jax.block_until_ready(f(*xs))
+        print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            jax.block_until_ready(f(*xs))
+            ts.append(time.time() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{name}: median {med * 1e3:.1f} ms", flush=True)
+
+    # K1 forward per direction (packs passed as ARGUMENTS — a closure
+    # capture would be inlined as an MLIR constant and pulled to host)
+    timeit("k1 dst=user",
+           lambda p, x: bd.bit_expand_matmul(p, x, R, d8_u), pa, x_i)
+    timeit("k1 dst=item",
+           lambda p, x: bd.bit_expand_matmul(p, x, R, d8_i), pb, x_u)
+    # K2 backward per direction (rating-major cotangent tables)
+    g_u = jax.random.normal(key, (R, u_pad, F), jnp.float32)
+    g_i = jax.random.normal(key, (R, i_pad, F), jnp.float32)
+    timeit("k2 d_items",
+           lambda p, g: bd.bit_reduce_matmul(p, g, R, d8_i), pb, g_u)
+    timeit("k2 d_users",
+           lambda p, g: bd.bit_reduce_matmul(p, g, R, d8_u), pa, g_i)
+
+    # Full fwd+bwd through the custom_vjp (both directions, like one
+    # layer's aggregation step)
+    def both(xi, xu, qa, qb):
+        pu = bd.bit_pool_rated(xi, qa, qb, R, d8_u, d8_i, "pallas", False)
+        pi = bd.bit_pool_rated(xu, qb, qa, R, d8_i, d8_u, "pallas", False)
+        return (pu ** 2).sum() + (pi ** 2).sum()
+
+    timeit("fwd both dirs", both, x_i, x_u, pa, pb)
+    timeit("fwd+bwd both dirs",
+           lambda xi, xu, qa, qb: jax.grad(
+               both, argnums=(0, 1))(xi, xu, qa, qb)[0],
+           x_i, x_u, pa, pb)
+
+
+if __name__ == "__main__":
+    main()

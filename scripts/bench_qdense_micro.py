@@ -88,15 +88,16 @@ def main():
     if want("bf16"):
         timeit(
             "bf16",
-            lambda: (jax.random.randint(
-                key, (R, D, S_n), 0, 2, jnp.int8).astype(jnp.bfloat16),),
+            lambda: ((jax.random.bits(key, (R, D, S_n), jnp.uint8)
+                      & 1).astype(jnp.bfloat16),),
             lambda S: jnp.einsum("rds,sf->drf", S, x,
                                  preferred_element_type=jnp.float32))
 
     if want("int8"):
         timeit(
             "int8",
-            lambda: (jax.random.randint(key, (R, D, S_n), 0, 2, jnp.int8),),
+            lambda: ((jax.random.bits(key, (R, D, S_n), jnp.uint8)
+                      & 1).astype(jnp.int8),),
             lambda S: jnp.einsum("rds,sf->drf", S.astype(jnp.bfloat16), x,
                                  preferred_element_type=jnp.float32))
 
@@ -104,7 +105,8 @@ def main():
         g = jax.random.normal(key, (D, R, F), jnp.bfloat16)
         timeit(
             "int8_bwd",
-            lambda: (jax.random.randint(key, (R, D, S_n), 0, 2, jnp.int8),),
+            lambda: ((jax.random.bits(key, (R, D, S_n), jnp.uint8)
+                      & 1).astype(jnp.int8),),
             lambda S: jnp.einsum("rds,drf->sf", S.astype(jnp.bfloat16), g,
                                  preferred_element_type=jnp.float32))
 
@@ -124,7 +126,8 @@ def main():
 
         timeit(
             "scan8",
-            lambda: (jax.random.randint(key, (R, D, S_n), 0, 2, jnp.int8),),
+            lambda: ((jax.random.bits(key, (R, D, S_n), jnp.uint8)
+                      & 1).astype(jnp.int8),),
             scan_fn)
 
     if want("bits"):
@@ -150,15 +153,14 @@ def main():
 
         timeit(
             "bits",
-            lambda: (jax.random.randint(
-                key, (R, D // 8, S_n), 0, 256, jnp.int32).astype(jnp.uint8),),
+            lambda: (jax.random.bits(key, (R, D // 8, S_n), jnp.uint8),),
             bits_fn)
 
     if want("int4"):
         timeit(
             "int4",
-            lambda: (jax.random.randint(
-                key, (R, D, S_n), 0, 2, jnp.int8).astype(jnp.int4),),
+            lambda: ((jax.random.bits(key, (R, D, S_n), jnp.uint8)
+                      & 1).astype(jnp.int4),),
             lambda S: jnp.einsum("rds,sf->drf", S.astype(jnp.bfloat16), x,
                                  preferred_element_type=jnp.float32))
 

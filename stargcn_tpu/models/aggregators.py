@@ -63,7 +63,7 @@ class MultiLinkGCNAggregator(nn.Module):
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
                  num_dst, *, train: bool = False, dense_support=None,
                  dense_transposed: bool = False, dense_static=None,
-                 ell_static=None):
+                 ell_static=None, bit_static=None):
         if self.accum == "stack":
             assert self.units % self.num_links == 0, (
                 "units must be divisible by num_links for 'stack'")
@@ -86,7 +86,8 @@ class MultiLinkGCNAggregator(nn.Module):
             # per-edge mask (the dense/ell operands never materialise
             # per-edge feature rows), so build_model_config forces the
             # xla backend with this mode.
-            assert dense_static is None and ell_static is None, (
+            assert (dense_static is None and ell_static is None
+                    and bit_static is None), (
                 "DROPOUT_PER_EDGE requires the flat-edge (xla) backend")
             msg = jnp.take(x_src, edge_src, axis=0)
             msg = nn.Dropout(self.dropout_rate,
@@ -115,6 +116,17 @@ class MultiLinkGCNAggregator(nn.Module):
             return get_activation(self.act)(out)
 
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x_src)
+        if bit_static is not None:
+            # Bit-packed dense MXU path (big graphs): the multi-link
+            # adjacency is a static 1-bit operand whose bit planes are
+            # unpacked to bf16 tile-by-tile in VMEM (ops/bitdense.py) —
+            # zero gathers/scatters in forward or backward.
+            from stargcn_tpu.ops.bitdense import bit_multi_link_aggregate
+
+            out = bit_multi_link_aggregate(
+                x, bit_static, weight, bias,
+                ordinal_sharing=self.ordinal_sharing, accum=self.accum)
+            return get_activation(self.act)(out)
         if ell_static is not None:
             # Chunked-ELL sparse path (big graphs): aggregates the raw
             # features per rating and projects afterwards — linear-

@@ -71,6 +71,31 @@ class EllStatic:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class BitStatic:
+    """Bit-packed dense aggregation operands for one direction (see
+    ``ops.bitdense``): the 1-bit-per-entry multi-link adjacency in this
+    direction's layout (``p_fwd``) and the transpose layout driving the
+    custom-vjp backward (``p_bwd``), separable degree-scale vectors, and
+    optional removed-batch-edge correction arrays."""
+
+    p_fwd: jax.Array                    # (R * d8_dst, S_pad) uint8
+    p_bwd: jax.Array                    # (R * d8_src, D_pad) uint8
+    dst_scale: jax.Array                # (num_dst,)
+    src_scale: jax.Array                # (num_src,)
+    rem_src: jax.Array | None = None    # (B,) removed-edge arrays
+    rem_dst: jax.Array | None = None
+    rem_rating: jax.Array | None = None
+    rem_weight: jax.Array | None = None
+    d8_dst: int = dataclasses.field(default=0, metadata=dict(static=True))
+    d8_src: int = dataclasses.field(default=0, metadata=dict(static=True))
+    impl: str = dataclasses.field(default="pallas",
+                                  metadata=dict(static=True))
+    interpret: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Relation:
     """Directed edge arrays for one (target <- neighbor) relation.
 
@@ -95,6 +120,8 @@ class Relation:
     dense_static: DenseStatic | None = None
     # Chunked-ELL sparse fast path for big graphs (ops/chunked_ell.py).
     ell_static: EllStatic | None = None
+    # Bit-packed dense MXU fast path for big graphs (ops/bitdense.py).
+    bit_static: BitStatic | None = None
 
 
 class HeterGCNLayer(nn.Module):
@@ -158,7 +185,8 @@ class HeterGCNLayer(nn.Module):
                     dense_support=rel.dense_support,
                     dense_transposed=rel.dense_transposed,
                     dense_static=rel.dense_static,
-                    ell_static=rel.ell_static)))
+                    ell_static=rel.ell_static,
+                    bit_static=rel.bit_static)))
             if self.accum_self:
                 h = dropout(features[t])
                 h = nn.Dense(out_units[t], kernel_init=xavier_in,

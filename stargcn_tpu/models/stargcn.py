@@ -77,6 +77,9 @@ class STARGCNConfig:
     ell_k: int = 64
     ell_chunk: int | None = 16384
     ell_bf16: bool = False
+    # bitdense backend (ops/bitdense.py): kernel implementation
+    # ('auto' = Pallas on TPU, XLA fallback elsewhere).
+    bit_impl: str = "auto"
     # Reference-exact dropout granularity: independent mask per GATHERED
     # edge row (aggregators.py:131) instead of per source node.  Quality
     # A/B mode; forces the flat-edge backend (see build_model_config).
@@ -128,8 +131,9 @@ class STARGCN(nn.Module):
         act = get_activation(cfg.activation)
 
         use_ell = cfg.backend == "ell" and ell_pack is not None
-        use_static = (cfg.backend == "dense"
-                      and dense_adj is not None) or use_ell
+        use_bit = cfg.backend == "bitdense" and ell_pack is not None
+        use_static = ((cfg.backend == "dense" and dense_adj is not None)
+                      or use_ell or use_bit)
         # Normalise removed_pairs: (pu, pi, valid) triggers an in-jit
         # binary-search edge lookup; (pu, pi, hit, rating) carries the
         # lookup result computed on the host (cheaper — the searchsorted
@@ -187,7 +191,14 @@ class STARGCN(nn.Module):
         dense_i_transposed = False
         static_u = static_i = None
         ell_u = ell_i = None
-        if use_ell:
+        bit_u = bit_i = None
+        if use_bit:
+            # Bit-packed dense MXU fast path: static 1-bit adjacency
+            # operands per variant, scalings from the masked degrees,
+            # removal as a batch-sized correction (ops/bitdense.py).
+            bit_u, bit_i = _build_bit_static_operands(
+                cfg, ell_pack, deg_u, deg_i, removed_info)
+        elif use_ell:
             # Chunked-ELL sparse fast path: static per-variant index
             # arrays, scalings from the masked degrees, removal as a
             # batch-sized correction (ops/chunked_ell.py).
@@ -217,13 +228,15 @@ class STARGCN(nn.Module):
                 edge_src=graph.edge_item, edge_dst=graph.edge_user,
                 edge_rating=graph.edge_rating, support=sup_u,
                 num_links=graph.num_links, dense_support=dense_u,
-                dense_static=static_u, ell_static=ell_u),
+                dense_static=static_u, ell_static=ell_u,
+                bit_static=bit_u),
             ("item", "user"): Relation(
                 edge_src=graph.edge_user, edge_dst=graph.edge_item,
                 edge_rating=graph.edge_rating, support=sup_i,
                 num_links=graph.num_links, dense_support=dense_i,
                 dense_transposed=dense_i_transposed,
-                dense_static=static_i, ell_static=ell_i),
+                dense_static=static_i, ell_static=ell_i,
+                bit_static=bit_i),
         }
         meta = {"user": ["item"], "item": ["user"]}
 
@@ -359,6 +372,39 @@ def _norm_scales(cfg, deg_u, deg_i):
     ones_u = jnp.ones_like(deg_u)
     ones_i = jnp.ones_like(deg_i)
     return {"user": (inv_u, ones_i), "item": (inv_i, ones_u)}
+
+
+def _build_bit_static_operands(cfg, bit_pack, deg_u, deg_i, removed_info):
+    """Assemble ``BitStatic`` operands for both aggregation directions.
+
+    ``bit_pack``: ``{"user"|"item": {"pf","pb","d8","s8"}}`` bit-packed
+    adjacency layouts per direction (``ops.bitdense.build_bit_pack``);
+    each direction's ``pb`` is the other's forward layout.
+    """
+    import jax as _jax
+
+    from stargcn_tpu.models.layers import BitStatic
+
+    impl = cfg.bit_impl
+    if impl == "auto":
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    scales = _norm_scales(cfg, deg_u, deg_i)
+    rem = {"user": (None,) * 4, "item": (None,) * 4}
+    if removed_info is not None:
+        pu, pi, hit, r = removed_info
+        rem = {"user": (pi, pu, r, hit), "item": (pu, pi, r, hit)}
+
+    def make(t):
+        p = bit_pack[t]
+        rs, rd, rr, rw = rem[t]
+        return BitStatic(
+            p_fwd=p["pf"], p_bwd=p["pb"],
+            dst_scale=scales[t][0], src_scale=scales[t][1],
+            rem_src=rs, rem_dst=rd, rem_rating=rr, rem_weight=rw,
+            d8_dst=p["pf"].shape[0] // cfg.num_links,
+            d8_src=p["pb"].shape[0] // cfg.num_links, impl=impl)
+
+    return make("user"), make("item")
 
 
 def _build_ell_static_operands(cfg, ell_pack, deg_u, deg_i, removed_info):

@@ -132,11 +132,11 @@ def multi_link_aggregate(
             pooled = jnp.einsum(
                 "rds,rsu->dru", dense_support, proj,
                 preferred_element_type=jnp.float32)
-    elif backend in ("xla", "ell"):
+    elif backend in ("xla", "ell", "bitdense"):
         # Flat gather over the (rating, src) axes folded together, then one
-        # scatter-add over (dst, rating) folded together.  ('ell' lands
-        # here only when no EllStatic operands were supplied — e.g.
-        # parameter init — and uses the xla formulation.)
+        # scatter-add over (dst, rating) folded together.  ('ell' and
+        # 'bitdense' land here only when no static operands were supplied
+        # — e.g. parameter init — and use the xla formulation.)
         flat_proj = proj.reshape(num_links * num_src, units)
         gather_idx = edge_rating * num_src + edge_src
         seg_ids = edge_dst * num_links + edge_rating

@@ -122,16 +122,29 @@ def build_bit_pack(edge_user, edge_item, edge_rating, edge_mask,
     {...}}`` where entry ``t`` drives aggregation INTO type ``t``
     (``pf`` = that direction's forward layout, ``pb`` = the transpose
     layout used by its backward)."""
-    pa, d8u = pack_bits(edge_user, edge_item, edge_rating, num_links,
-                        num_users, num_items, mask=edge_mask, bm=bm, bs=bs)
-    pb, d8i = pack_bits(edge_item, edge_user, edge_rating, num_links,
-                        num_items, num_users, mask=edge_mask, bm=bm, bs=bs)
+    pa, _ = pack_bits(edge_user, edge_item, edge_rating, num_links,
+                      num_users, num_items, mask=edge_mask, bm=bm, bs=bs)
+    pb, _ = pack_bits(edge_item, edge_user, edge_rating, num_links,
+                      num_items, num_users, mask=edge_mask, bm=bm, bs=bs)
+    # Only arrays in the pack: it crosses jit boundaries as a pytree, so
+    # scalar metadata would be traced — the d8 values are recovered from
+    # the (static) shapes as ``pf.shape[0] // num_links``.
     ja, jb = jnp.asarray(pa), jnp.asarray(pb)
-    return {"user": {"pf": ja, "pb": jb, "d8": d8u, "s8": d8i},
-            "item": {"pf": jb, "pb": ja, "d8": d8i, "s8": d8u}}
+    return {"user": {"pf": ja, "pb": jb},
+            "item": {"pf": jb, "pb": ja}}
 
 
 # ------------------------------ kernels --------------------------------
+
+
+def _bit_plane(p32, b):
+    """Extract bit plane ``b`` of an int32-widened uint8 block as bf16
+    0/1.  Mosaic supports neither uint8->bf16 casts nor the i1 relayout
+    from an int8-tiled compare into a bf16 select, so the block is
+    widened to i32 once per kernel step and each plane goes
+    shift/and -> f32 -> bf16 (all supported transitions)."""
+    bit = (p32 >> b) & 1
+    return bit.astype(jnp.float32).astype(jnp.bfloat16)
 
 
 def _k1_kernel(p_ref, x_ref, o_ref, acc_ref):
@@ -142,10 +155,10 @@ def _k1_kernel(p_ref, x_ref, o_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[...]
+    p32 = p_ref[...].astype(jnp.int32)
     x = x_ref[...].astype(jnp.bfloat16)
     for b in range(8):
-        sb = ((p >> b) & 1).astype(jnp.bfloat16)
+        sb = _bit_plane(p32, b)
         acc_ref[b] += jnp.dot(sb, x, preferred_element_type=jnp.float32)
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -166,10 +179,10 @@ def _k2_kernel(p_ref, g_ref, o_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[...]
-    g = g_ref[:, 0, :].astype(jnp.bfloat16)
+    p32 = p_ref[...].astype(jnp.int32)
+    g = g_ref[0].astype(jnp.bfloat16)
     for b in range(8):
-        sb = ((p >> b) & 1).astype(jnp.bfloat16)
+        sb = _bit_plane(p32, b)
         acc_ref[b] += jnp.dot(sb, g, preferred_element_type=jnp.float32)
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -219,11 +232,12 @@ def bit_expand_matmul(P, x, num_links, d8, *, bm=_BM, bs=_BS,
 
 def bit_reduce_matmul(P, g, num_links, d8, *, bm=_BM, bs=_BS,
                       interpret=False):
-    """``out[b, m, f] = sum_{r, s} bit_b(P[r*d8+m, s]) g[s, r, f]``.
+    """``out[b, m, f] = sum_{r, s} bit_b(P[r*d8+m, s]) g[r, s, f]``.
 
     Args:
       P: ``(num_links * d8, S_pad)`` uint8.
-      g: ``(S_pad, num_links, F)`` float cotangent table.
+      g: ``(num_links, S_pad, F)`` float cotangent table (rating-major so
+        each grid step reads one contiguous (bs, F) slab).
 
     Returns ``(8, d8, F)`` f32.
     """
@@ -237,7 +251,7 @@ def bit_reduce_matmul(P, g, num_links, d8, *, bm=_BM, bs=_BS,
         in_specs=[
             pl.BlockSpec((bm, bs),
                          lambda i, j: (j // n_s * n_m + i, j % n_s)),
-            pl.BlockSpec((bs, 1, f), lambda i, j: (j % n_s, j // n_s, 0)),
+            pl.BlockSpec((1, bs, f), lambda i, j: (j // n_s, j % n_s, 0)),
         ],
         out_specs=pl.BlockSpec((8, bm, f), lambda i, j: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((8, d8, f), jnp.float32),
@@ -261,12 +275,13 @@ def xla_expand_matmul(P, x, num_links, d8):
 
 
 def xla_reduce_matmul(P, g, num_links, d8):
-    """Pure-XLA golden model of ``bit_reduce_matmul``."""
+    """Pure-XLA golden model of ``bit_reduce_matmul`` (same ``(R, S, F)``
+    rating-major cotangent convention)."""
     m8, s_pad = P.shape
     planes = ((P[None] >> jnp.arange(8, dtype=P.dtype)[:, None, None]) & 1
               ).astype(g.dtype)                       # (8, R*d8, S)
     planes = planes.reshape(8, num_links, d8, s_pad)
-    return jnp.einsum("brms,srf->bmf", planes, g,
+    return jnp.einsum("brms,rsf->bmf", planes, g,
                       preferred_element_type=jnp.float32)
 
 
@@ -311,12 +326,13 @@ def _bit_pool_fwd(x, p_fwd, p_bwd, num_links, d8_dst, d8_src, impl,
 
 def _bit_pool_bwd(num_links, d8_dst, d8_src, impl, interpret, res, g):
     (p_bwd,) = res
-    # g: (8*d8_dst, R, F) == (D_pad, R, F) — exactly K2's rhs table.
+    # g: (8*d8_dst, R, F) == (D_pad, R, F); K2 wants it rating-major.
+    g_rm = g.transpose(1, 0, 2)
     if impl == "pallas" and _HAVE_PALLAS:
-        d_x = bit_reduce_matmul(p_bwd, g, num_links, d8_src,
+        d_x = bit_reduce_matmul(p_bwd, g_rm, num_links, d8_src,
                                 interpret=interpret)
     else:
-        d_x = xla_reduce_matmul(p_bwd, g, num_links, d8_src)
+        d_x = xla_reduce_matmul(p_bwd, g_rm, num_links, d8_src)
     d_x = d_x.reshape(8 * d8_src, -1)
     return (d_x.astype(g.dtype), None, None)
 

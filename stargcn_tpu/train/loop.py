@@ -106,6 +106,7 @@ def build_model_config(cfg, num_users, num_items, num_links,
         ell_k=cfg.KERNEL.get("ELL_K", 64),
         ell_chunk=cfg.KERNEL.get("ELL_CHUNK", 16384),
         ell_bf16=cfg.KERNEL.get("ELL_BF16", False),
+        bit_impl=cfg.KERNEL.get("BIT_IMPL", "auto"),
         dropout_per_edge=dropout_per_edge,
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
     )
@@ -129,6 +130,29 @@ class _LazyEllPacks:
                 g.edge_user, g.edge_item, g.edge_rating,
                 np.asarray(mask) * pad, self._cfg.num_users,
                 self._cfg.num_items, K=self._cfg.ell_k)
+        return self._cache[variant]
+
+
+class _LazyBitPacks:
+    """Per-variant bit-packed dense adjacencies (ops/bitdense.py), built
+    (and cached) on first use — ~1 GB of device transfer per variant at
+    ML-10M scale, so valid/test variants wait for the first eval."""
+
+    def __init__(self, graph_data, model_cfg):
+        self._g = graph_data
+        self._cfg = model_cfg
+        self._cache = {}
+
+    def get(self, variant, mask):
+        if variant not in self._cache:
+            from stargcn_tpu.ops.bitdense import build_bit_pack
+
+            g = self._g
+            pad = np.asarray(g.edge_pad_mask)
+            self._cache[variant] = build_bit_pack(
+                g.edge_user, g.edge_item, g.edge_rating,
+                np.asarray(mask) * pad, self._cfg.num_users,
+                self._cfg.num_items, g.num_links)
         return self._cache[variant]
 
 
@@ -277,7 +301,12 @@ class Trainer:
             # evaluation — and each variant is ~300 MB of device
             # transfers at ML-10M scale, which dominates construction.
             self.ell_packs = _LazyEllPacks(self.graph_data, model_cfg)
-        if model_cfg.backend in ("dense", "ell"):
+        if model_cfg.backend == "bitdense":
+            # Bit-packed dense adjacencies (ops/bitdense.py), same lazy
+            # per-variant pattern.  (self.ell_packs is the generic
+            # "static aggregation pack" provider slot.)
+            self.ell_packs = _LazyBitPacks(self.graph_data, model_cfg)
+        if model_cfg.backend in ("dense", "ell", "bitdense"):
             eu = np.asarray(self.graph_data.edge_user)
             ei = np.asarray(self.graph_data.edge_item)
             pad = np.asarray(self.graph_data.edge_pad_mask)

@@ -123,10 +123,11 @@ def default_cfg() -> EasyDict:
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()
-    cfg.KERNEL.BACKEND = "auto"  # auto | xla | dense | ell | pallas
+    cfg.KERNEL.BACKEND = "auto"  # auto | xla | dense | ell | bitdense | pallas
     cfg.KERNEL.ELL_K = 64        # chunked-ELL virtual-row width
     cfg.KERNEL.ELL_CHUNK = 16384  # rematerialised row-chunk size
     cfg.KERNEL.ELL_BF16 = False  # bf16 gather/contract in the ell path
+    cfg.KERNEL.BIT_IMPL = "auto"  # bitdense kernels: auto | pallas | xla
     cfg.KERNEL.XLA_MSG_BUDGET_MB = 1500  # xla-path message-buffer bound
     cfg.PARALLEL = EasyDict()
     cfg.PARALLEL.DATA_AXIS = 1   # data-parallel mesh size

@@ -85,9 +85,9 @@ class TestKernels:
         # Transpose layout: src packed, dst in lanes.
         P, s8 = bd.pack_bits(src, dst, rat, R, S_n, D)
         d_pad = P.shape[1]
-        g = rng.randn(d_pad, R, F).astype(np.float32)
+        g = rng.randn(R, d_pad, F).astype(np.float32)
         S = _dense_onehot(dst, src, rat, R, D, S_n)
-        want = np.einsum("rds,drf->sf", S, g[:D])
+        want = np.einsum("rds,rdf->sf", S, g[:, :D])
         xla = np.asarray(bd.xla_reduce_matmul(
             jnp.asarray(P), jnp.asarray(g), R, s8))
         got = xla.reshape(8 * s8, F)[:S_n]
@@ -96,7 +96,7 @@ class TestKernels:
             jnp.asarray(P), jnp.asarray(g), R, s8, interpret=True))
         g_bf = np.asarray(jnp.asarray(g).astype(jnp.bfloat16).astype(
             jnp.float32))
-        want_bf = np.einsum("rds,drf->sf", S, g_bf[:D])
+        want_bf = np.einsum("rds,rdf->sf", S, g_bf[:, :D])
         np.testing.assert_allclose(pal.reshape(8 * s8, F)[:S_n], want_bf,
                                    rtol=1e-4, atol=1e-4)
 
@@ -132,3 +132,114 @@ class TestPoolVjp:
                                    rtol=rtol, atol=1e-3 * abs(float(v_d)))
         # padded-row gradients are exactly zero (no bits set there)
         np.testing.assert_array_equal(np.asarray(g_b)[S_n:], 0.0)
+
+
+class TestModelIntegration:
+    def test_model_bitdense_matches_xla(self, rng):
+        """Full model forward on the bitdense backend (xla impl, exact
+        f32) == the flat-edge reference path, including REMOVE_RATING
+        rank-B correction."""
+        import dataclasses
+
+        from stargcn_tpu.data.synthetic import synthetic_graph
+        from stargcn_tpu.graph.device import BipartiteGraphData
+        from stargcn_tpu.models import STARGCN, STARGCNConfig
+
+        nu_n, ni_n, R, E = 22, 17, 3, 120
+        g = synthetic_graph(num_users=nu_n, num_items=ni_n, num_edges=E,
+                            rating_values=tuple(range(1, R + 1)), seed=5)
+        gd = BipartiteGraphData.from_csr(g["user", "movie"],
+                                         pad_multiple=32)
+        cfg = STARGCNConfig(
+            num_users=nu_n, num_items=ni_n, num_links=R, nblocks=2,
+            use_dae=True, embed_units=4, agg_units=(6 * R,),
+            out_units=(5,), agg_accum="stack", gcn_dropout=0.0,
+            gen_rating_mid_map=4)
+        B = 8
+        pu = jnp.asarray(rng.randint(0, nu_n, B), jnp.int32)
+        pi = jnp.asarray(rng.randint(0, ni_n, B), jnp.int32)
+        nu_j = jnp.arange(nu_n, dtype=jnp.int32)
+        ni_j = jnp.arange(ni_n, dtype=jnp.int32)
+        model = STARGCN(cfg)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            gd, gd.edge_pad_mask, nu_j, ni_j, pu, pi,
+            train=False)["params"]
+        ref = model.apply({"params": params}, gd, gd.edge_pad_mask, nu_j,
+                          ni_j, pu, pi, train=False)["pred_ratings"]
+
+        cfg_b = dataclasses.replace(cfg, backend="bitdense",
+                                    bit_impl="xla")
+        pack = bd.build_bit_pack(gd.edge_user, gd.edge_item,
+                                 gd.edge_rating, gd.edge_pad_mask,
+                                 nu_n, ni_n, R)
+        du = jax.ops.segment_sum(gd.edge_pad_mask, gd.edge_user,
+                                 num_segments=nu_n)
+        di = jax.ops.segment_sum(gd.edge_pad_mask, gd.edge_item,
+                                 num_segments=ni_n)
+        got = STARGCN(cfg_b).apply(
+            {"params": params}, gd, gd.edge_pad_mask, nu_j, ni_j, pu, pi,
+            ell_pack=pack, variant_degrees=(du, di),
+            train=False)["pred_ratings"]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+        # REMOVE_RATING parity: mask on the xla side vs rank-B
+        # correction on the bitdense side
+        mask = gd.edge_mask_from_pairs(pu, pi, jnp.ones(B),
+                                       gd.edge_pad_mask)
+        hit_ref = model.apply(
+            {"params": params}, gd, mask, nu_j, ni_j, pu, pi,
+            train=False)["pred_ratings"]
+        eu = np.asarray(gd.edge_user)
+        ei = np.asarray(gd.edge_item)
+        keys = eu.astype(np.int64) * ni_n + ei
+        order = np.argsort(keys, kind="stable")
+        q = np.asarray(pu).astype(np.int64) * ni_n + np.asarray(pi)
+        pos = np.clip(np.searchsorted(keys[order], q), 0, keys.size - 1)
+        pad_np = np.asarray(gd.edge_pad_mask)
+        hit = ((keys[order][pos] == q)
+               & (pad_np[order][pos] > 0)).astype(np.float32)
+        rating = np.asarray(gd.edge_rating)[order][pos].astype(np.int32)
+        du2 = jax.ops.segment_sum(mask * gd.edge_pad_mask, gd.edge_user,
+                                  num_segments=nu_n)
+        di2 = jax.ops.segment_sum(mask * gd.edge_pad_mask, gd.edge_item,
+                                  num_segments=ni_n)
+        got_rm = STARGCN(cfg_b).apply(
+            {"params": params}, gd, gd.edge_pad_mask, nu_j, ni_j, pu, pi,
+            ell_pack=pack, variant_degrees=(du2, di2),
+            removed_pairs=(pu, pi, jnp.asarray(hit), jnp.asarray(rating)),
+            train=False)["pred_ratings"]
+        np.testing.assert_allclose(got_rm, hit_ref, rtol=3e-4, atol=3e-4)
+
+    def test_trainer_bitdense_end_to_end(self, tmp_path):
+        """Trainer.fit with backend='bitdense' trains and evaluates
+        (exercises _LazyBitPacks + the removal correction in training)."""
+        from stargcn_tpu.data.iterators import DataIterator
+        from stargcn_tpu.data.synthetic import synthetic_graph
+        from stargcn_tpu.models import STARGCNConfig
+        from stargcn_tpu.train.loop import Trainer, TrainSettings
+
+        g = synthetic_graph(num_users=20, num_items=15, num_edges=200,
+                            seed=7)
+        csr = g["user", "movie"]
+        pairs = csr.node_pair_ids
+        rng = np.random.RandomState(0)
+        perm = rng.permutation(pairs.shape[1])
+        it = DataIterator(g, "user", "movie",
+                          test_node_pairs=pairs[:, perm[:30]],
+                          valid_node_pairs=pairs[:, perm[30:60]],
+                          embed_P_mask=0.2, seed=0,
+                          embed_p_zero=1.0, embed_p_self=0.0)
+        cfg = STARGCNConfig(
+            num_users=20, num_items=15, num_links=len(csr.multi_link),
+            nblocks=2, use_dae=True, embed_units=4, agg_units=(10,),
+            out_units=(5,), agg_accum="sum", gcn_dropout=0.1,
+            gen_rating_mid_map=4, backend="bitdense", bit_impl="xla")
+        s = TrainSettings(rating_batch_size=32, max_iter=6,
+                          log_interval=3, valid_interval=3, lr=1e-2,
+                          seed=0)
+        tr = Trainer(cfg, it, s, save_dir=str(tmp_path))
+        result = tr.fit()
+        assert np.isfinite(result["best_valid_rmse"])
+        assert result["best_test_rmse"] is not None

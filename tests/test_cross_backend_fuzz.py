@@ -96,6 +96,19 @@ def test_all_paths_agree(trial):
         train=False)["pred_ratings"]
     np.testing.assert_allclose(got_e, ref, rtol=2e-4, atol=2e-4)
 
+    # bit-packed dense MXU path (the other big-graph backend; xla impl
+    # keeps the contraction in f32 for exact comparison)
+    from stargcn_tpu.ops.bitdense import build_bit_pack
+
+    cfg_b = dataclasses.replace(cfg, backend="bitdense", bit_impl="xla")
+    bpack = build_bit_pack(gd.edge_user, gd.edge_item, gd.edge_rating,
+                           gd.edge_pad_mask, nu_n, ni_n, R)
+    got_b = STARGCN(cfg_b).apply(
+        {"params": params}, gd, gd.edge_pad_mask, nu_j, ni_j, pu, pi,
+        ell_pack=bpack, variant_degrees=(du, di),
+        train=False)["pred_ratings"]
+    np.testing.assert_allclose(got_b, ref, rtol=2e-4, atol=2e-4)
+
     # sampled two-phase, fanout = -1 (exact)
     plan = StackedPlan.build(g, cfg, np.asarray(pu), np.asarray(pi),
                              fanout=-1, node_pad=16)
