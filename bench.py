@@ -169,8 +169,10 @@ def _ml10m_cfg():
     return cfg
 
 
-def bench_ml10m_ell(steps=6, scan=3):
-    """Full-graph ML-10M training steps through the chunked-ELL backend."""
+def bench_ml10m_ell(steps=6, scan=3, backend="ell"):
+    """Full-graph ML-10M training steps through a big-graph backend
+    ('ell' = chunked-ELL gather path, 'bitdense' = bit-packed dense
+    Pallas MXU path)."""
     import jax
     import numpy as np
 
@@ -178,7 +180,7 @@ def bench_ml10m_ell(steps=6, scan=3):
     from stargcn_tpu.train.loop import TrainSettings
 
     cfg = _ml10m_cfg()
-    cfg.KERNEL.BACKEND = "ell"
+    cfg.KERNEL.BACKEND = backend
     cfg.TRAIN.SCAN_STEPS = scan
     _, csr, it = ml10m()
     model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
@@ -307,7 +309,9 @@ def main():
     scenarios = {}
     plan = [("ml100k_dense", bench_ml100k_dense)]
     if not fast:
-        plan += [("ml10m_ell", bench_ml10m_ell),
+        plan += [("ml10m_bitdense",
+                  lambda: bench_ml10m_ell(backend="bitdense")),
+                 ("ml10m_ell", bench_ml10m_ell),
                  ("ml10m_sampled", bench_ml10m_sampled),
                  ("pallas_ell", bench_pallas_ell)]
     for name, fn in plan:

@@ -10,6 +10,7 @@ Usage::
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -70,8 +71,20 @@ def main():
     i_pad = bd.node_pad(args.items)
     d8_u, d8_i = u_pad // 8, i_pad // 8
     key = jax.random.PRNGKey(0)
-    pa = jax.random.bits(key, (R * d8_u, i_pad), jnp.uint8)   # users packed
-    pb = jax.random.bits(key, (R * d8_i, u_pad), jnp.uint8)   # items packed
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def fake_pack(r, c):
+        # Fused iota-hash fill: threefry at GB scale OOMs in u32
+        # intermediates; XLA fuses iota->mul->shift->convert into a pure
+        # uint8 write.  Bit density is ~50% (vs 1.3% real) — irrelevant
+        # for dense-compute timing.
+        rows = jax.lax.broadcasted_iota(jnp.uint32, (r, c), 0)
+        cols = jax.lax.broadcasted_iota(jnp.uint32, (r, c), 1)
+        v = rows * jnp.uint32(2654435761) + cols * jnp.uint32(40503)
+        return ((v >> 13) & jnp.uint32(0xFF)).astype(jnp.uint8)
+
+    pa = fake_pack(R * d8_u, i_pad)   # users packed
+    pb = fake_pack(R * d8_i, u_pad)   # items packed
     x_i = jax.random.normal(key, (i_pad, F), jnp.float32)
     x_u = jax.random.normal(key, (u_pad, F), jnp.float32)
     print(f"P_A {pa.shape} ({pa.size / 1e6:.0f} MB)  P_B {pb.shape}",

@@ -95,6 +95,20 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
     ``mask > 0``).  Duplicate edges collapse (one-hot semantics, same
     as ``ops/agg.py:build_dense_adjacency``'s min(.,1)).
     """
+    d8, _, s_pad = pad_dims(num_dst, num_src, bm, bs)
+
+    from stargcn_tpu.graph import kernels as _K
+
+    native = _K.native_module()
+    if native is not None and hasattr(native, "pack_bits"):
+        m = None if mask is None else np.ascontiguousarray(mask, np.float32)
+        P = native.pack_bits(
+            np.ascontiguousarray(edge_dst, np.int32),
+            np.ascontiguousarray(edge_src, np.int32),
+            np.ascontiguousarray(edge_rating, np.int32),
+            m, int(num_links), int(d8), int(s_pad))
+        return P, d8
+
     edge_dst = np.asarray(edge_dst, np.int64)
     edge_src = np.asarray(edge_src, np.int64)
     edge_rating = np.asarray(edge_rating, np.int64)
@@ -102,7 +116,6 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
         keep = np.asarray(mask) > 0
         edge_dst, edge_src, edge_rating = (
             edge_dst[keep], edge_src[keep], edge_rating[keep])
-    d8, _, s_pad = pad_dims(num_dst, num_src, bm, bs)
     P = np.zeros((num_links * d8) * s_pad, np.uint8)
     b = edge_dst // d8
     flat = (edge_rating * d8 + edge_dst % d8) * s_pad + edge_src

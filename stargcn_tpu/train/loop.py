@@ -135,25 +135,34 @@ class _LazyEllPacks:
 
 class _LazyBitPacks:
     """Per-variant bit-packed dense adjacencies (ops/bitdense.py), built
-    (and cached) on first use — ~1 GB of device transfer per variant at
-    ML-10M scale, so valid/test variants wait for the first eval."""
+    (and cached) on first use — ~2 GB of HBM per variant at ML-10M
+    scale, so valid/test variants wait for the first eval AND identical
+    masks share one pack (transductively the valid graph IS the train
+    graph: ``iterators.py:165-169``)."""
 
     def __init__(self, graph_data, model_cfg):
         self._g = graph_data
         self._cfg = model_cfg
-        self._cache = {}
+        self._cache = {}       # mask-bytes digest -> pack
+        self._by_variant = {}
 
     def get(self, variant, mask):
-        if variant not in self._cache:
+        if variant not in self._by_variant:
+            import hashlib
+
             from stargcn_tpu.ops.bitdense import build_bit_pack
 
             g = self._g
             pad = np.asarray(g.edge_pad_mask)
-            self._cache[variant] = build_bit_pack(
-                g.edge_user, g.edge_item, g.edge_rating,
-                np.asarray(mask) * pad, self._cfg.num_users,
-                self._cfg.num_items, g.num_links)
-        return self._cache[variant]
+            m = np.ascontiguousarray(np.asarray(mask) * pad, np.float32)
+            key = hashlib.sha1(m.tobytes()).hexdigest()
+            if key not in self._cache:
+                self._cache[key] = build_bit_pack(
+                    g.edge_user, g.edge_item, g.edge_rating, m,
+                    self._cfg.num_users, self._cfg.num_items,
+                    g.num_links)
+            self._by_variant[variant] = self._cache[key]
+        return self._by_variant[variant]
 
 
 @dataclasses.dataclass
