@@ -900,11 +900,17 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
 // NumPy fancy-index packer takes ~26 s at 10M edges; this is one O(E)
 // pass with atomic byte ORs (duplicate edges collapse, matching the
 // one-hot semantics of ops/agg.py:build_dense_adjacency).
+// ``interleave`` > 0 applies the 16-bit-lane column permutation the
+// Pallas kernels' u16 bitcast expects: within each block of
+// ``interleave`` source columns, logical column L maps to physical
+// 2*L (first half) / 2*(L - half) + 1 (second half), so one u16 lane
+// holds the bytes of logical columns L and L + half and both bit-plane
+// extractions are contiguous.
 PyObject* py_pack_bits(PyObject*, PyObject* args) {
   PyObject *dst_obj, *src_obj, *rat_obj, *mask_obj;
-  int num_links, d8, s_pad;
-  if (!PyArg_ParseTuple(args, "OOOOiii", &dst_obj, &src_obj, &rat_obj,
-                        &mask_obj, &num_links, &d8, &s_pad))
+  int num_links, d8, s_pad, interleave = 0;
+  if (!PyArg_ParseTuple(args, "OOOOiii|i", &dst_obj, &src_obj, &rat_obj,
+                        &mask_obj, &num_links, &d8, &s_pad, &interleave))
     return nullptr;
   I32View dst, src, rat;
   if (!as_i32(dst_obj, &dst)) return nullptr;
@@ -935,13 +941,19 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
   uint8_t* P = static_cast<uint8_t*>(
       PyArray_DATA(reinterpret_cast<PyArrayObject*>(p_arr)));
   const int64_t d8l = d8, spl = s_pad;
+  const int64_t il = interleave, half = il / 2;
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(num_threads_capped())
 #endif
   for (npy_intp e = 0; e < E; ++e) {
     if (has_mask && mask.data[e] <= 0.0f) continue;
     const int64_t d = dst.data[e];
-    const int64_t idx = (rat.data[e] * d8l + d % d8l) * spl + src.data[e];
+    int64_t s = src.data[e];
+    if (il > 0) {
+      const int64_t blk = s / il, off = s % il;
+      s = blk * il + (off < half ? 2 * off : 2 * (off - half) + 1);
+    }
+    const int64_t idx = (rat.data[e] * d8l + d % d8l) * spl + s;
     const uint8_t bit = static_cast<uint8_t>(1u << (d / d8l));
 #ifdef _OPENMP
     __atomic_fetch_or(&P[idx], bit, __ATOMIC_RELAXED);

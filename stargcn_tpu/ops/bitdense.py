@@ -86,7 +86,8 @@ def pad_dims(num_dst: int, num_src: int, bm: int = _BM, bs: int = _BS):
 
 
 def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
-              num_src, mask=None, bm: int = _BM, bs: int = _BS):
+              num_src, mask=None, bm: int = _BM, bs: int = _BS,
+              interleave: int = 0):
     """Bit-pack one direction's multi-link adjacency.
 
     Returns ``(P, D8)`` with ``P`` of shape ``(num_links * D8, S_pad)``
@@ -94,6 +95,13 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
     ``(dst = b*D8 + d8  <-  src = s)`` carries rating level ``r`` (and
     ``mask > 0``).  Duplicate edges collapse (one-hot semantics, same
     as ``ops/agg.py:build_dense_adjacency``'s min(.,1)).
+
+    ``interleave`` > 0 permutes source columns within blocks of that
+    size — logical ``L`` -> physical ``2L`` (first half) /
+    ``2(L - half) + 1`` (second half) — so a u16 reinterpretation of a
+    physical column pair holds logical columns ``L`` (low byte) and
+    ``L + half`` (high byte): the layout the 16-bit-lane Pallas kernels
+    consume.
     """
     d8, _, s_pad = pad_dims(num_dst, num_src, bm, bs)
 
@@ -106,7 +114,7 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
             np.ascontiguousarray(edge_dst, np.int32),
             np.ascontiguousarray(edge_src, np.int32),
             np.ascontiguousarray(edge_rating, np.int32),
-            m, int(num_links), int(d8), int(s_pad))
+            m, int(num_links), int(d8), int(s_pad), int(interleave))
         return P, d8
 
     edge_dst = np.asarray(edge_dst, np.int64)
@@ -116,6 +124,11 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
         keep = np.asarray(mask) > 0
         edge_dst, edge_src, edge_rating = (
             edge_dst[keep], edge_src[keep], edge_rating[keep])
+    if interleave:
+        half = interleave // 2
+        blk, off = edge_src // interleave, edge_src % interleave
+        edge_src = blk * interleave + np.where(
+            off < half, 2 * off, 2 * (off - half) + 1)
     P = np.zeros((num_links * d8) * s_pad, np.uint8)
     b = edge_dst // d8
     flat = (edge_rating * d8 + edge_dst % d8) * s_pad + edge_src

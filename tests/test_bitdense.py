@@ -243,3 +243,33 @@ class TestModelIntegration:
         result = tr.fit()
         assert np.isfinite(result["best_valid_rmse"])
         assert result["best_test_rmse"] is not None
+
+
+class TestNativePacker:
+    def test_native_matches_numpy(self, rng):
+        import stargcn_tpu.graph.kernels as km
+
+        if km.native_module() is None or not hasattr(
+                km.native_module(), "pack_bits"):
+            pytest.skip("native ext not built")
+        for trial in range(12):
+            E = rng.randint(1, 400)
+            D, S_n = rng.randint(1, 40), rng.randint(1, 40)
+            R = rng.randint(1, 6)
+            dst = rng.randint(0, D, E).astype(np.int32)
+            src = rng.randint(0, S_n, E).astype(np.int32)
+            rat = rng.randint(0, R, E).astype(np.int32)
+            mask = ((rng.uniform(size=E) > 0.3).astype(np.float32)
+                    if trial % 2 else None)
+            il = [0, 1024][trial % 2]
+            a, d8a = bd.pack_bits(dst, src, rat, R, D, S_n, mask=mask,
+                                  interleave=il)
+            saved = km._native
+            km._native = None
+            try:
+                b, d8b = bd.pack_bits(dst, src, rat, R, D, S_n,
+                                      mask=mask, interleave=il)
+            finally:
+                km._native = saved
+            assert d8a == d8b
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
