@@ -67,6 +67,21 @@ def main():
         p, g.astype(jnp.bfloat16), Rp, s8p))(jnp.asarray(Pt), gt)
     err2 = float(jnp.max(jnp.abs(got2 - want2)))
     print(f"K2 correctness: max|pallas-xla| = {err2:.3e}", flush=True)
+    # 16-bit-lane kernels: row-interleaved packs vs plain-pack XLA
+    Pp16, _ = bd.pack_bits(dst, src, rat, Rp, Dp, Sp,
+                           row_interleave=bd._BM)
+    got16 = jax.jit(lambda p, x: bd.bit_expand_matmul16(
+        p, x, Rp, d8p))(jnp.asarray(Pp16), xs)
+    err16 = float(jnp.max(jnp.abs(got16 - want)))
+    print(f"K1-16 correctness: max|pallas16-xla| = {err16:.3e}",
+          flush=True)
+    Pt16, _ = bd.pack_bits(src, dst, rat, Rp, Sp, Dp,
+                           row_interleave=bd._BM)
+    got216 = jax.jit(lambda p, g: bd.bit_reduce_matmul16(
+        p, g, Rp, s8p))(jnp.asarray(Pt16), gt)
+    err216 = float(jnp.max(jnp.abs(got216 - want2)))
+    print(f"K2-16 correctness: max|pallas16-xla| = {err216:.3e}",
+          flush=True)
     u_pad = bd.node_pad(args.users)
     i_pad = bd.node_pad(args.items)
     d8_u, d8_i = u_pad // 8, i_pad // 8
@@ -128,6 +143,31 @@ def main():
     timeit("fwd+bwd both dirs",
            lambda xi, xu, qa, qb: jax.grad(
                both, argnums=(0, 1))(xi, xu, qa, qb)[0],
+           x_i, x_u, pa, pb)
+
+    # ---- 16-bit-lane kernels (same bit content, row-interleaved —
+    # density-random packs reinterleave to themselves statistically, so
+    # reuse pa/pb for timing)
+    timeit("k1-16 dst=user",
+           lambda p, x: bd.bit_expand_matmul16(p, x, R, d8_u), pa, x_i)
+    timeit("k1-16 dst=item",
+           lambda p, x: bd.bit_expand_matmul16(p, x, R, d8_i), pb, x_u)
+    timeit("k2-16 d_items",
+           lambda p, g: bd.bit_reduce_matmul16(p, g, R, d8_i), pb, g_u)
+    timeit("k2-16 d_users",
+           lambda p, g: bd.bit_reduce_matmul16(p, g, R, d8_u), pa, g_i)
+
+    def both16(xi, xu, qa, qb):
+        pu = bd.bit_pool_rated(xi, qa, qb, R, d8_u, d8_i, "pallas16",
+                               False)
+        pi = bd.bit_pool_rated(xu, qb, qa, R, d8_i, d8_u, "pallas16",
+                               False)
+        return (pu ** 2).sum() + (pi ** 2).sum()
+
+    timeit("fwd both dirs (16)", both16, x_i, x_u, pa, pb)
+    timeit("fwd+bwd both dirs (16)",
+           lambda xi, xu, qa, qb: jax.grad(
+               both16, argnums=(0, 1))(xi, xu, qa, qb)[0],
            x_i, x_u, pa, pb)
 
 

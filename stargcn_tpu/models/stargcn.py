@@ -381,13 +381,10 @@ def _build_bit_static_operands(cfg, bit_pack, deg_u, deg_i, removed_info):
     adjacency layouts per direction (``ops.bitdense.build_bit_pack``);
     each direction's ``pb`` is the other's forward layout.
     """
-    import jax as _jax
-
     from stargcn_tpu.models.layers import BitStatic
+    from stargcn_tpu.ops.bitdense import resolve_impl
 
-    impl = cfg.bit_impl
-    if impl == "auto":
-        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    impl = resolve_impl(cfg.bit_impl)
     scales = _norm_scales(cfg, deg_u, deg_i)
     rem = {"user": (None,) * 4, "item": (None,) * 4}
     if removed_info is not None:

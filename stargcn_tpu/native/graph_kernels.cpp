@@ -906,11 +906,16 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
 // 2*L (first half) / 2*(L - half) + 1 (second half), so one u16 lane
 // holds the bytes of logical columns L and L + half and both bit-plane
 // extractions are contiguous.
+// ``row_interleave`` > 0 (= kernel row block bm) permutes the packed-row
+// coordinate: within each bm-row block, natural position w maps to
+// physical 2*(w % (bm/2)) + w/(bm/2) — the inverse of the hardware's
+// adjacent-sublane u16 pairing the 16-bit Pallas kernels exploit.
 PyObject* py_pack_bits(PyObject*, PyObject* args) {
   PyObject *dst_obj, *src_obj, *rat_obj, *mask_obj;
-  int num_links, d8, s_pad, interleave = 0;
-  if (!PyArg_ParseTuple(args, "OOOOiii|i", &dst_obj, &src_obj, &rat_obj,
-                        &mask_obj, &num_links, &d8, &s_pad, &interleave))
+  int num_links, d8, s_pad, interleave = 0, row_interleave = 0;
+  if (!PyArg_ParseTuple(args, "OOOOiii|ii", &dst_obj, &src_obj, &rat_obj,
+                        &mask_obj, &num_links, &d8, &s_pad, &interleave,
+                        &row_interleave))
     return nullptr;
   I32View dst, src, rat;
   if (!as_i32(dst_obj, &dst)) return nullptr;
@@ -942,6 +947,7 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
       PyArray_DATA(reinterpret_cast<PyArrayObject*>(p_arr)));
   const int64_t d8l = d8, spl = s_pad;
   const int64_t il = interleave, half = il / 2;
+  const int64_t ril = row_interleave, rhalf = ril / 2;
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(num_threads_capped())
 #endif
@@ -953,7 +959,12 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
       const int64_t blk = s / il, off = s % il;
       s = blk * il + (off < half ? 2 * off : 2 * (off - half) + 1);
     }
-    const int64_t idx = (rat.data[e] * d8l + d % d8l) * spl + s;
+    int64_t pos = d % d8l;
+    if (ril > 0) {
+      const int64_t blk = pos / ril, w = pos % ril;
+      pos = blk * ril + 2 * (w % rhalf) + w / rhalf;
+    }
+    const int64_t idx = (rat.data[e] * d8l + pos) * spl + s;
     const uint8_t bit = static_cast<uint8_t>(1u << (d / d8l));
 #ifdef _OPENMP
     __atomic_fetch_or(&P[idx], bit, __ATOMIC_RELAXED);

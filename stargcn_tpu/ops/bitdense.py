@@ -87,7 +87,7 @@ def pad_dims(num_dst: int, num_src: int, bm: int = _BM, bs: int = _BS):
 
 def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
               num_src, mask=None, bm: int = _BM, bs: int = _BS,
-              interleave: int = 0):
+              interleave: int = 0, row_interleave: int = 0):
     """Bit-pack one direction's multi-link adjacency.
 
     Returns ``(P, D8)`` with ``P`` of shape ``(num_links * D8, S_pad)``
@@ -100,8 +100,15 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
     size — logical ``L`` -> physical ``2L`` (first half) /
     ``2(L - half) + 1`` (second half) — so a u16 reinterpretation of a
     physical column pair holds logical columns ``L`` (low byte) and
-    ``L + half`` (high byte): the layout the 16-bit-lane Pallas kernels
-    consume.
+    ``L + half`` (high byte): a column-pairing layout (kept for
+    experiments; the shipped 16-bit kernels use row pairing instead).
+
+    ``row_interleave`` > 0 (= the kernel row-block ``bm``) permutes the
+    PACKED-ROW coordinate so the 16-bit kernels' (k, h) accumulator
+    order is the natural destination order: within each bm-row block,
+    natural position ``w`` maps to physical row ``2*(w % (bm/2)) +
+    w // (bm/2)`` — the inverse of the hardware's adjacent-sublane u16
+    pairing (``scripts/probe_bitcast.py``).
     """
     d8, _, s_pad = pad_dims(num_dst, num_src, bm, bs)
 
@@ -114,7 +121,8 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
             np.ascontiguousarray(edge_dst, np.int32),
             np.ascontiguousarray(edge_src, np.int32),
             np.ascontiguousarray(edge_rating, np.int32),
-            m, int(num_links), int(d8), int(s_pad), int(interleave))
+            m, int(num_links), int(d8), int(s_pad), int(interleave),
+            int(row_interleave))
         return P, d8
 
     edge_dst = np.asarray(edge_dst, np.int64)
@@ -131,7 +139,12 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
             off < half, 2 * off, 2 * (off - half) + 1)
     P = np.zeros((num_links * d8) * s_pad, np.uint8)
     b = edge_dst // d8
-    flat = (edge_rating * d8 + edge_dst % d8) * s_pad + edge_src
+    pos = edge_dst % d8
+    if row_interleave:
+        halfm = row_interleave // 2
+        blk, w = pos // row_interleave, pos % row_interleave
+        pos = blk * row_interleave + 2 * (w % halfm) + w // halfm
+    flat = (edge_rating * d8 + pos) * s_pad + edge_src
     # One fancy-indexed OR per bit plane: within a plane all writes carry
     # the same value, so duplicate indices are benign.
     for bit in range(8):
@@ -143,21 +156,34 @@ def pack_bits(edge_dst, edge_src, edge_rating, num_links, num_dst,
 
 def build_bit_pack(edge_user, edge_item, edge_rating, edge_mask,
                    num_users, num_items, num_links,
-                   bm: int = _BM, bs: int = _BS):
+                   bm: int = _BM, bs: int = _BS,
+                   row_interleave: int = 0):
     """Both layouts for one graph variant: ``{'user': {...}, 'item':
     {...}}`` where entry ``t`` drives aggregation INTO type ``t``
     (``pf`` = that direction's forward layout, ``pb`` = the transpose
     layout used by its backward)."""
     pa, _ = pack_bits(edge_user, edge_item, edge_rating, num_links,
-                      num_users, num_items, mask=edge_mask, bm=bm, bs=bs)
+                      num_users, num_items, mask=edge_mask, bm=bm, bs=bs,
+                      row_interleave=row_interleave)
     pb, _ = pack_bits(edge_item, edge_user, edge_rating, num_links,
-                      num_items, num_users, mask=edge_mask, bm=bm, bs=bs)
+                      num_items, num_users, mask=edge_mask, bm=bm, bs=bs,
+                      row_interleave=row_interleave)
     # Only arrays in the pack: it crosses jit boundaries as a pytree, so
     # scalar metadata would be traced — the d8 values are recovered from
     # the (static) shapes as ``pf.shape[0] // num_links``.
     ja, jb = jnp.asarray(pa), jnp.asarray(pb)
     return {"user": {"pf": ja, "pb": jb},
             "item": {"pf": jb, "pb": ja}}
+
+
+def resolve_impl(impl: str) -> str:
+    """'auto' -> the Pallas 16-bit-lane kernels on TPU, XLA fallback
+    elsewhere.  Pack layout and kernel choice must agree (pallas16
+    needs ``row_interleave=bm`` packs), so every consumer resolves
+    through this one function."""
+    if impl != "auto":
+        return impl
+    return "pallas16" if jax.default_backend() == "tpu" else "xla"
 
 
 # ------------------------------ kernels --------------------------------
@@ -190,6 +216,60 @@ def _k1_kernel(p_ref, x_ref, o_ref, acc_ref):
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
         o_ref[0] = acc_ref[...]
+
+
+def _k1_kernel16(p_ref, x_ref, o_ref, acc_ref):
+    """16-bit-lane forward: the uint8 block is REINTERPRETED as u16
+    (hardware pairs adjacent sublanes: lane k = packed rows (2k lo,
+    2k+1 hi) — probed in scripts/probe_bitcast.py), each of the 16
+    (plane, half) extractions is shift/and/mul-by-0x3F80 in u16 and a
+    FREE bitcast to bf16 (0x3F80 IS bf16 1.0) — ~2.7x fewer VPU ops
+    than the i32 widen + two-convert chain of ``_k1_kernel``.  The host
+    packs rows so the (k, h) output order is the natural dst order
+    (``pack_bits(row_interleave=bm)``)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    u = pltpu.bitcast(p_ref[...], jnp.uint16)      # (bm//2, bs)
+    x = x_ref[...].astype(jnp.bfloat16)
+    one = jnp.uint16(0x3F80)                       # bf16 1.0 pattern
+    for b in range(8):
+        for h in range(2):
+            t = ((u >> (8 * h + b)) & jnp.uint16(1)) * one
+            plane = pltpu.bitcast(t, jnp.bfloat16)
+            acc_ref[b, h] += jnp.dot(plane, x,
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0, :, 0] = acc_ref[...]
+
+
+def _k2_kernel16(p_ref, g_ref, o_ref, acc_ref):
+    """16-bit-lane backward (see ``_k1_kernel16``; rating folded into
+    the contraction as in ``_k2_kernel``)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    u = pltpu.bitcast(p_ref[...], jnp.uint16)
+    g = g_ref[0].astype(jnp.bfloat16)
+    one = jnp.uint16(0x3F80)
+    for b in range(8):
+        for h in range(2):
+            t = ((u >> (8 * h + b)) & jnp.uint16(1)) * one
+            plane = pltpu.bitcast(t, jnp.bfloat16)
+            acc_ref[b, h] += jnp.dot(plane, g,
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:, 0] = acc_ref[...]
 
 
 def _k2_kernel(p_ref, g_ref, o_ref, acc_ref):
@@ -286,6 +366,59 @@ def bit_reduce_matmul(P, g, num_links, d8, *, bm=_BM, bs=_BS,
     )(P, g)
 
 
+def bit_expand_matmul16(P, x, num_links, d8, *, bm=_BM, bs=_BS,
+                        interpret=False):
+    """16-bit-lane variant of ``bit_expand_matmul``.  ``P`` must be
+    packed with ``row_interleave=bm``; output is natural-order after
+    the (free) reshape done here.  Returns ``(num_links, 8, d8, F)``."""
+    m8, s_pad = P.shape
+    f = x.shape[1]
+    n_m, n_s = m8 // bm, s_pad // bs
+    nm_per_r = d8 // bm
+    out = pl.pallas_call(
+        _k1_kernel16,
+        grid=(n_m, n_s),
+        in_specs=[
+            pl.BlockSpec((bm, bs), lambda i, j: (i, j)),
+            pl.BlockSpec((bs, f), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 1, 2, bm // 2, f),
+            lambda i, j: (i // nm_per_r, 0, i % nm_per_r, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_links, 8, nm_per_r, 2, bm // 2, f), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 2, bm // 2, f), jnp.float32)],
+        interpret=interpret,
+    )(P, x)
+    return out.reshape(num_links, 8, d8, f)
+
+
+def bit_reduce_matmul16(P, g, num_links, d8, *, bm=_BM, bs=_BS,
+                        interpret=False):
+    """16-bit-lane variant of ``bit_reduce_matmul`` (``P`` packed with
+    ``row_interleave=bm``).  Returns ``(8, d8, F)``."""
+    m8, s_pad = P.shape
+    f = g.shape[-1]
+    n_m, n_s = d8 // bm, s_pad // bs
+    grid = (n_m, num_links * n_s)
+    out = pl.pallas_call(
+        _k2_kernel16,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bs),
+                         lambda i, j: (j // n_s * n_m + i, j % n_s)),
+            pl.BlockSpec((1, bs, f), lambda i, j: (j // n_s, j % n_s, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, 1, 2, bm // 2, f),
+                               lambda i, j: (0, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, n_m, 2, bm // 2, f),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 2, bm // 2, f), jnp.float32)],
+        interpret=interpret,
+    )(P, g)
+    return out.reshape(8, d8, f)
+
+
 # ------------------------- XLA reference models -------------------------
 
 
@@ -335,9 +468,16 @@ def bit_pool_rated(x, p_fwd, p_bwd, num_links, d8_dst, d8_src, impl,
 
 
 def _bit_pool_fwd_impl(x, p_fwd, num_links, d8, impl, interpret):
-    if impl == "pallas" and _HAVE_PALLAS:
+    if impl == "pallas16" and _HAVE_PALLAS:
+        out = bit_expand_matmul16(p_fwd, x, num_links, d8,
+                                  interpret=interpret)
+    elif impl == "pallas" and _HAVE_PALLAS:
         out = bit_expand_matmul(p_fwd, x, num_links, d8,
                                 interpret=interpret)
+    elif impl == "pallas16":
+        raise RuntimeError(
+            "bit_impl='pallas16' needs Pallas (its packs are "
+            "row-interleaved and unreadable by the XLA fallback)")
     else:
         out = xla_expand_matmul(p_fwd, x, num_links, d8)
     # (R, 8, d8, F) -> (8*d8, R, F), natural dst index.
@@ -354,9 +494,16 @@ def _bit_pool_bwd(num_links, d8_dst, d8_src, impl, interpret, res, g):
     (p_bwd,) = res
     # g: (8*d8_dst, R, F) == (D_pad, R, F); K2 wants it rating-major.
     g_rm = g.transpose(1, 0, 2)
-    if impl == "pallas" and _HAVE_PALLAS:
+    if impl == "pallas16" and _HAVE_PALLAS:
+        d_x = bit_reduce_matmul16(p_bwd, g_rm, num_links, d8_src,
+                                  interpret=interpret)
+    elif impl == "pallas" and _HAVE_PALLAS:
         d_x = bit_reduce_matmul(p_bwd, g_rm, num_links, d8_src,
                                 interpret=interpret)
+    elif impl == "pallas16":
+        raise RuntimeError(
+            "bit_impl='pallas16' needs Pallas (its packs are "
+            "row-interleaved and unreadable by the XLA fallback)")
     else:
         d_x = xla_reduce_matmul(p_bwd, g_rm, num_links, d8_src)
     d_x = d_x.reshape(8 * d8_src, -1)

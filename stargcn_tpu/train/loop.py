@@ -150,17 +150,21 @@ class _LazyBitPacks:
         if variant not in self._by_variant:
             import hashlib
 
-            from stargcn_tpu.ops.bitdense import build_bit_pack
+            from stargcn_tpu.ops import bitdense as bd
 
             g = self._g
             pad = np.asarray(g.edge_pad_mask)
             m = np.ascontiguousarray(np.asarray(mask) * pad, np.float32)
             key = hashlib.sha1(m.tobytes()).hexdigest()
             if key not in self._cache:
-                self._cache[key] = build_bit_pack(
+                # Pack layout must match the kernel the model resolves
+                # to (the 16-bit kernels read row-interleaved packs).
+                impl = bd.resolve_impl(self._cfg.bit_impl)
+                ril = bd._BM if impl == "pallas16" else 0
+                self._cache[key] = bd.build_bit_pack(
                     g.edge_user, g.edge_item, g.edge_rating, m,
                     self._cfg.num_users, self._cfg.num_items,
-                    g.num_links)
+                    g.num_links, row_interleave=ril)
             self._by_variant[variant] = self._cache[key]
         return self._by_variant[variant]
 
