@@ -222,9 +222,9 @@ def _k1_kernel16(p_ref, x_ref, o_ref, acc_ref):
     """16-bit-lane forward: the uint8 block is REINTERPRETED as u16
     (hardware pairs adjacent sublanes: lane k = packed rows (2k lo,
     2k+1 hi) — probed in scripts/probe_bitcast.py), each of the 16
-    (plane, half) extractions is shift/and/mul-by-0x3F80 in u16 and a
-    FREE bitcast to bf16 (0x3F80 IS bf16 1.0) — ~2.7x fewer VPU ops
-    than the i32 widen + two-convert chain of ``_k1_kernel``.  The host
+    (plane, half) extractions is an and/compare/select in the (16, 128)
+    tiling i16 and bf16 share — ~2x fewer VPU ops than the i32 widen +
+    two-convert chain of ``_k1_kernel``.  The host
     packs rows so the (k, h) output order is the natural dst order
     (``pack_bits(row_interleave=bm)``)."""
     j = pl.program_id(1)
@@ -235,11 +235,14 @@ def _k1_kernel16(p_ref, x_ref, o_ref, acc_ref):
 
     u = pltpu.bitcast(p_ref[...], jnp.uint16)      # (bm//2, bs)
     x = x_ref[...].astype(jnp.bfloat16)
-    one = jnp.uint16(0x3F80)                       # bf16 1.0 pattern
+    one = jnp.bfloat16(1.0)
+    zero = jnp.bfloat16(0.0)
     for b in range(8):
         for h in range(2):
-            t = ((u >> (8 * h + b)) & jnp.uint16(1)) * one
-            plane = pltpu.bitcast(t, jnp.bfloat16)
+            # Mosaic has no i16 shift; and+compare+select stays in the
+            # (16, 128) tiling i16 and bf16 share.
+            mask = jnp.uint16(1 << (8 * h + b))
+            plane = jnp.where((u & mask) != 0, one, zero)
             acc_ref[b, h] += jnp.dot(plane, x,
                                      preferred_element_type=jnp.float32)
 
@@ -259,11 +262,12 @@ def _k2_kernel16(p_ref, g_ref, o_ref, acc_ref):
 
     u = pltpu.bitcast(p_ref[...], jnp.uint16)
     g = g_ref[0].astype(jnp.bfloat16)
-    one = jnp.uint16(0x3F80)
+    one = jnp.bfloat16(1.0)
+    zero = jnp.bfloat16(0.0)
     for b in range(8):
         for h in range(2):
-            t = ((u >> (8 * h + b)) & jnp.uint16(1)) * one
-            plane = pltpu.bitcast(t, jnp.bfloat16)
+            mask = jnp.uint16(1 << (8 * h + b))
+            plane = jnp.where((u & mask) != 0, one, zero)
             acc_ref[b, h] += jnp.dot(plane, g,
                                      preferred_element_type=jnp.float32)
 
