@@ -193,6 +193,12 @@ class TrainSettings:
     # per-dispatch overhead; must divide log/valid intervals to keep the
     # logging cadence exact).
     scan_steps: int = 1
+    # Failure detection / elastic recovery (train/resilience.py):
+    # stall-diagnosis timeout, bounded step-exception restarts, bounded
+    # NaN-divergence recoveries.  0 disables the heartbeat monitor.
+    hang_timeout_s: float = 900.0
+    max_restarts: int = 2
+    max_nan_recoveries: int = 3
 
     @staticmethod
     def from_cfg(cfg):
@@ -213,6 +219,9 @@ class TrainSettings:
             use_dae=cfg.MODEL.USE_DAE,
             seed=cfg.SEED,
             scan_steps=cfg.TRAIN.get("SCAN_STEPS", 1),
+            hang_timeout_s=cfg.TRAIN.get("HANG_TIMEOUT_S", 900.0),
+            max_restarts=cfg.TRAIN.get("MAX_RESTARTS", 2),
+            max_nan_recoveries=cfg.TRAIN.get("MAX_NAN_RECOVERIES", 3),
         )
 
 
@@ -681,6 +690,21 @@ class Trainer:
             model_info(self.params, os.path.join(
                 self.save_dir, f"net{self.save_id}.txt"))
         loggers = self._make_metric_loggers()
+        # Failure detection / elastic recovery (train/resilience.py):
+        # silent-stall diagnosis + bounded restart of failed dispatches.
+        from stargcn_tpu.train.resilience import (ElasticPolicy,
+                                                  ElasticStep,
+                                                  HeartbeatMonitor)
+        monitor = None
+        if s.hang_timeout_s and s.hang_timeout_s > 0:
+            crash_file = (os.path.join(self.save_dir,
+                                       f"crash_{self.save_id}.log")
+                          if self.save_dir else None)
+            monitor = HeartbeatMonitor(s.hang_timeout_s, log=log,
+                                       crash_file=crash_file).start()
+        elastic = ElasticStep(ElasticPolicy(max_restarts=s.max_restarts),
+                              on_restore=self._elastic_restore, log=log)
+        nan_recoveries = 0
         best_valid_rmse = np.inf
         best_test_rmse = None
         best_iter = -1
@@ -750,18 +774,21 @@ class Trainer:
         while iter_idx < effective_max:
             if k > 1:
                 pulls = next_chunk()
-                stats = self.train_chunk([p[0] for p in pulls],
-                                         [p[1] for p in pulls])
+                stats = elastic.run(self.train_chunk,
+                                    [p[0] for p in pulls],
+                                    [p[1] for p in pulls])
                 # stacked stats: split back into per-step trees lazily
                 pending.append(stats)
                 pending_cnt += sum(p[0][1].size for p in pulls)
                 iter_idx += k
             else:
                 rb, cb = next_batches()
-                stats = self.train_iteration(rb, cb)
+                stats = elastic.run(self.train_iteration, rb, cb)
                 pending.append(stats)
                 pending_cnt += rb[1].size
                 iter_idx += 1
+            if monitor is not None:
+                monitor.beat()
 
             logging_str = ""
             if iter_idx % s.log_interval == 0:
@@ -798,9 +825,20 @@ class Trainer:
                 pending, pending_cnt = [], 0
                 if not np.isfinite(float(stats["loss"])):
                     # NaN watchdog (framework addition): restore the best
-                    # checkpoint if any, halve the LR, keep going.
+                    # checkpoint if any, halve the LR, keep going —
+                    # bounded: repeated divergence means the config is
+                    # broken, not the run.
+                    nan_recoveries += 1
+                    if nan_recoveries > s.max_nan_recoveries:
+                        log(f"Non-finite loss at iter {iter_idx}; "
+                            f"{nan_recoveries - 1} recoveries already "
+                            "spent — stopping.")
+                        stop = True
+                        break
                     log(f"Non-finite loss at iter {iter_idx}; "
-                        "restoring best checkpoint and halving LR.")
+                        "restoring best checkpoint and halving LR "
+                        f"(recovery {nan_recoveries}/"
+                        f"{s.max_nan_recoveries}).")
                     ckpt = (os.path.join(
                         self.save_dir, f"ckpt_best_{self.save_id}.msgpack")
                         if self.save_dir else None)
@@ -845,6 +883,9 @@ class Trainer:
                         f"Test RMSE{i}={best_test_rmse[i]:.4f}"
                         for i in range(nb))
                     self.save_checkpoint("best")
+                    # Periodic crash-safe resume point alongside best
+                    # (elastic restore + CLI --resume both read it).
+                    self.save_checkpoint("last")
                 else:
                     no_better += 1
                     if (no_better > s.early_stopping_patience
@@ -862,6 +903,8 @@ class Trainer:
             if stop:
                 break
         stop_prefetch()
+        if monitor is not None:
+            monitor.stop()
         for lg in loggers.values():
             lg.close()
         # Crash-safe resume point (the reference has no checkpointing;
@@ -881,6 +924,21 @@ class Trainer:
                                    self.model_cfg.nblocks)
 
     # ---------------------------- checkpointing ------------------------------
+
+    def _elastic_restore(self):
+        """Reload the most recent on-disk state after a failed dispatch
+        (train/resilience.py ElasticStep).  Prefers the crash-safe
+        'last' checkpoint, falls back to 'best'; without a save_dir the
+        in-memory params simply continue (a transient dispatch failure
+        loses no state — params update only on success)."""
+        if self.save_dir is None:
+            return
+        for tag in ("last", "best"):
+            path = os.path.join(self.save_dir,
+                                f"ckpt_{tag}_{self.save_id}.msgpack")
+            if os.path.exists(path):
+                self.restore_checkpoint(path)
+                return
 
     def save_checkpoint(self, tag: str = "last"):
         """Persist params + opt state (the reference leaves model saving

@@ -120,6 +120,11 @@ def default_cfg() -> EasyDict:
     cfg.TRAIN.GRAD_CLIP = 10.0
     # TPU-framework extension: steps fused per device dispatch
     cfg.TRAIN.SCAN_STEPS = 1
+    # TPU-framework extension: failure detection / elastic recovery
+    # (train/resilience.py); HANG_TIMEOUT_S = 0 disables the monitor
+    cfg.TRAIN.HANG_TIMEOUT_S = 900.0
+    cfg.TRAIN.MAX_RESTARTS = 2
+    cfg.TRAIN.MAX_NAN_RECOVERIES = 3
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()
