@@ -365,10 +365,22 @@ class Trainer:
         # critical path while the device runs the previous step).
         keys = (all_csr.row_indices.astype(np.int64) * all_csr.shape[1]
                 + all_csr.end_points)
+        ratings = np.searchsorted(
+            all_csr.multi_link, all_csr.values).astype(np.int32)
         order = np.argsort(keys, kind="stable")
         self._lookup_keys_np = keys[order]
-        self._lookup_rating_np = np.searchsorted(
-            all_csr.multi_link, all_csr.values).astype(np.int32)[order]
+        self._lookup_rating_np = ratings[order]
+        # Dense direct-index map when the pair space is small enough
+        # (ML-100k: 1.6 MB, ML-10M: 746 MB): the per-step searchsorted
+        # over B=10k queries costs ~1.7 ms of host time — the largest
+        # single overhead of the ML-100k step — while a fancy-indexed
+        # gather is ~50 us.  Value = rating index + 1, 0 = no edge.
+        self._lookup_dense_np = None
+        pair_space = int(all_csr.shape[0]) * int(all_csr.shape[1])
+        if 0 < pair_space <= 1_000_000_000 and len(all_csr.multi_link) < 127:
+            dense = np.zeros(pair_space, np.int8)
+            dense[keys] = (ratings + 1).astype(np.int8)
+            self._lookup_dense_np = dense
 
         self._rng_key = jax.random.PRNGKey(self.s.seed)
         self.params = self._init_params()
@@ -461,6 +473,10 @@ class Trainer:
     def host_edge_lookup(self, pu, pi, valid):
         """(hit, rating) for batch pairs — numpy, off the device path."""
         q = pu.astype(np.int64) * self.model_cfg.num_items + pi
+        if self._lookup_dense_np is not None:
+            v = self._lookup_dense_np[q].astype(np.int32)
+            hit = ((v > 0) & (valid > 0)).astype(np.float32)
+            return hit, np.maximum(v - 1, 0)
         pos = np.searchsorted(self._lookup_keys_np, q)
         pos = np.clip(pos, 0, max(self._lookup_keys_np.size - 1, 0))
         hit = ((self._lookup_keys_np[pos] == q) & (valid > 0)).astype(
