@@ -61,6 +61,28 @@ class GraphShardings:
     def embed_rows(self):
         return self._s("model", None)
 
+    @property
+    def bit_rows(self):
+        """Bit-packed adjacency layouts (ops/bitdense.py) sharded by
+        PACKED ROWS over 'model': the forward matmul's M dimension is
+        embarrassingly parallel (each chip produces its destination
+        slice), and the backward contraction over sharded cotangent
+        rows gets its partial-sum psum from GSPMD — the dense-MXU
+        instance of the edge-set sharding design (SURVEY.md §2.3)."""
+        return self._s("model", None)
+
+    def place_bit_pack(self, pack):
+        """Shard every layout of a ``build_bit_pack`` dict by rows
+        (replicate arrays whose row count doesn't divide the axis)."""
+        model = self.mesh.shape["model"]
+
+        def one(a):
+            ok = a.shape[0] % model == 0
+            return place(a, self.bit_rows if ok else self.replicated)
+
+        return {t: {k: one(v) for k, v in d.items()}
+                for t, d in pack.items()}
+
     def place_graph(self, graph):
         """Shard a ``BipartiteGraphData``: edge arrays over 'model';
         lookup arrays replicated (binary search stays local)."""

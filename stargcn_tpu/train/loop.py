@@ -142,9 +142,10 @@ class _LazyBitPacks:
     masks share one pack (transductively the valid graph IS the train
     graph: ``iterators.py:165-169``)."""
 
-    def __init__(self, graph_data, model_cfg):
+    def __init__(self, graph_data, model_cfg, shardings=None):
         self._g = graph_data
         self._cfg = model_cfg
+        self._shardings = shardings
         self._cache = {}       # mask-bytes digest -> pack
         self._by_variant = {}
 
@@ -163,10 +164,13 @@ class _LazyBitPacks:
                 # to (the 16-bit kernels read row-interleaved packs).
                 impl = bd.resolve_impl(self._cfg.bit_impl)
                 ril = bd._BM if impl == "pallas16" else 0
-                self._cache[key] = bd.build_bit_pack(
+                pack = bd.build_bit_pack(
                     g.edge_user, g.edge_item, g.edge_rating, m,
                     self._cfg.num_users, self._cfg.num_items,
                     g.num_links, row_interleave=ril)
+                if self._shardings is not None:
+                    pack = self._shardings.place_bit_pack(pack)
+                self._cache[key] = pack
             self._by_variant[variant] = self._cache[key]
         return self._by_variant[variant]
 
@@ -329,7 +333,8 @@ class Trainer:
             # Bit-packed dense adjacencies (ops/bitdense.py), same lazy
             # per-variant pattern.  (self.ell_packs is the generic
             # "static aggregation pack" provider slot.)
-            self.ell_packs = _LazyBitPacks(self.graph_data, model_cfg)
+            self.ell_packs = _LazyBitPacks(self.graph_data, model_cfg,
+                                           self.shardings)
         if model_cfg.backend in ("dense", "ell", "bitdense"):
             eu = np.asarray(self.graph_data.edge_user)
             ei = np.asarray(self.graph_data.edge_item)
