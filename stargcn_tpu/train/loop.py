@@ -203,6 +203,11 @@ class TrainSettings:
     hang_timeout_s: float = 900.0
     max_restarts: int = 2
     max_nan_recoveries: int = 3
+    # Sample rating batches + recon noise ON DEVICE inside the fused
+    # scan (single-chip fast path: zero per-step host->device
+    # transfers).  Distributional deltas vs the host samplers are
+    # documented at _device_sample_step_inputs.
+    device_sampler: bool = False
 
     @staticmethod
     def from_cfg(cfg):
@@ -226,6 +231,7 @@ class TrainSettings:
             hang_timeout_s=cfg.TRAIN.get("HANG_TIMEOUT_S", 900.0),
             max_restarts=cfg.TRAIN.get("MAX_RESTARTS", 2),
             max_nan_recoveries=cfg.TRAIN.get("MAX_NAN_RECOVERIES", 3),
+            device_sampler=cfg.TRAIN.get("DEVICE_SAMPLER", False),
         )
 
 
@@ -401,6 +407,15 @@ class Trainer:
         self._eval_step = jax.jit(partial(_eval_step, self))
         self._scan_step = None
         self._scan_k = 0
+        self._dev_scan_step = None
+        self._dev_scan_k = 0
+        self._dev_train_arrays = None
+        pm = data_iter.embed_P_mask
+        pz = data_iter._embed_p_zero
+        self._dev_pmask = (float(pm.get("user", 0.0)),
+                           float(pm.get("movie", pm.get("item", 0.0))))
+        self._dev_pzero = (float(pz.get("user", 0.0)),
+                           float(pz.get("movie", pz.get("item", 0.0))))
 
     # ------------------------------ setup -----------------------------------
 
@@ -574,6 +589,41 @@ class Trainer:
             self.edge_masks["train"], self._train_dense_adj(),
             self._train_variant_degrees(), self._ell_pack("train"),
             ints_d, flts_d, noise_d, rmask_d, keys)
+        return stats
+
+    def train_chunk_dev(self, k):
+        """k fused steps with ON-DEVICE batch sampling
+        (TRAIN.DEVICE_SAMPLER): the dispatch carries only k RNG keys —
+        no per-step host arrays at all.  Single-chip path (the sharded
+        trainer keeps the host samplers so DP batch sharding applies).
+        """
+        assert self.shardings is None, (
+            "DEVICE_SAMPLER is a single-chip path; the sharded trainer "
+            "uses the host samplers (DP batch sharding)")
+        if self._dev_train_arrays is None:
+            it = self.data_iter
+            tp = jnp.asarray(np.asarray(it.train_node_pairs, np.int32))
+            tr = jnp.asarray(np.asarray(it.train_ratings, np.float32))
+            tri = jnp.asarray(np.searchsorted(
+                np.asarray(it.possible_rating_values),
+                np.asarray(it.train_ratings)).astype(np.int32))
+            self._dev_train_arrays = (tp, tr, tri)
+        keys = []
+        for _ in range(k):
+            self._rng_key, sk = jax.random.split(self._rng_key)
+            keys.append(sk)
+        keys = jnp.stack(keys)
+        if self._dev_scan_step is None or self._dev_scan_k != k:
+            self._dev_scan_k = k
+            self._dev_scan_step = jax.jit(
+                partial(_scan_train_steps_dev, self),
+                donate_argnums=(0, 1))
+        tp, tr, tri = self._dev_train_arrays
+        self.params, self.opt_state, stats = self._dev_scan_step(
+            self.params, self.opt_state, self.graph_data,
+            self.edge_masks["train"], self._train_dense_adj(),
+            self._train_variant_degrees(), self._ell_pack("train"),
+            tp, tr, tri, keys)
         return stats
 
     def prepare_recon_batch(self, embed_noise_dict, recon_ids_dict):
@@ -755,10 +805,12 @@ class Trainer:
                       np.zeros(self.model_cfg.num_items, np.float32))
             return rb, cb
 
+        # On-device sampling path: the dispatch carries only RNG keys.
+        use_dev = s.device_sampler and self.shardings is None
         # One-chunk-ahead prefetch: host batch sampling/prep runs in a
         # background thread while the device executes the current chunk.
         prefetcher = None
-        if k > 1:
+        if k > 1 and not use_dev:
             import queue
             import threading
 
@@ -793,7 +845,12 @@ class Trainer:
         # prefetch thread owns the samplers; no single-step tail).
         effective_max = (max_iter // k) * k if k > 1 else max_iter
         while iter_idx < effective_max:
-            if k > 1:
+            if use_dev:
+                stats = elastic.run(self.train_chunk_dev, k)
+                pending.append(stats)
+                pending_cnt += self.train_batch_padded * k
+                iter_idx += k
+            elif k > 1:
                 pulls = next_chunk()
                 stats = elastic.run(self.train_chunk,
                                     [p[0] for p in pulls],
@@ -1003,6 +1060,71 @@ def _scan_train_steps(trainer, params, opt_state, g, edge_mask, dense_adj,
 
     (params, opt_state), stats = jax.lax.scan(
         body, (params, opt_state), (ints, flts, noise, rmask, keys))
+    return params, opt_state, stats
+
+
+def _device_sample_step_inputs(trainer, tp, tr, tri, key):
+    """One step's (ints, flts, noise, rmask, dropout_key) sampled ON
+    DEVICE (TRAIN.DEVICE_SAMPLER) — the chunk dispatch carries only RNG
+    keys, eliminating per-step host->device transfers (~250 KB/step at
+    batch 10k, which dominates the small-graph step through this
+    environment's TPU relay).
+
+    Distributional deltas vs the host samplers (both documented,
+    first-moment identical): batch indices are drawn WITH replacement
+    (vs epoch-shuffled without-replacement slices), and recon-mask
+    selection is per-node Bernoulli(P_mask) (vs an exact-count draw).
+    Batch pairs are by construction train edges, so the REMOVE_RATING
+    lookup is free: hit = 1, rating = the drawn edge's rating index.
+    """
+    cfg = trainer.model_cfg
+    B = trainer.train_batch_padded
+    n_train = tp.shape[1]
+    k_idx, k_mu, k_zu, k_mi, k_zi, k_drop = jax.random.split(key, 6)
+    idx = jax.random.randint(k_idx, (B,), 0, n_train)
+    pu = jnp.take(tp[0], idx)
+    pi = jnp.take(tp[1], idx)
+    gt = jnp.take(tr, idx)
+    rem_rating = jnp.take(tri, idx)
+    ones = jnp.ones(B, jnp.float32)
+    hit = ones if trainer.do_remove else jnp.zeros(B, jnp.float32)
+    ints = jnp.stack([pu, pi, rem_rating])
+    flts = jnp.stack([gt, ones, hit])
+
+    def one_type(km, kz, n, pm, pz):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        if not trainer.s.use_dae:
+            return iota, jnp.zeros(n, jnp.float32)
+        sel = jax.random.bernoulli(km, pm, (n,))
+        zero = jax.random.bernoulli(kz, pz, (n,))
+        noise = jnp.where(sel & zero, -1, iota).astype(jnp.int32)
+        return noise, sel.astype(jnp.float32)
+
+    nu, mu = one_type(k_mu, k_zu, cfg.num_users,
+                      trainer._dev_pmask[0], trainer._dev_pzero[0])
+    ni, mi = one_type(k_mi, k_zi, cfg.num_items,
+                      trainer._dev_pmask[1], trainer._dev_pzero[1])
+    return (ints, flts, jnp.concatenate([nu, ni]),
+            jnp.concatenate([mu, mi]), k_drop)
+
+
+def _scan_train_steps_dev(trainer, params, opt_state, g, edge_mask,
+                          dense_adj, variant_degrees, ell_pack, tp, tr,
+                          tri, keys):
+    """k fused steps with on-device batch sampling (see
+    ``_device_sample_step_inputs``)."""
+
+    def body(carry, key):
+        p, o = carry
+        ints, flts, noise, rmask, k_drop = _device_sample_step_inputs(
+            trainer, tp, tr, tri, key)
+        p, o, stats = _train_step(trainer, p, o, g, edge_mask, dense_adj,
+                                  variant_degrees, ell_pack, ints, flts,
+                                  noise, rmask, k_drop)
+        return (p, o), stats
+
+    (params, opt_state), stats = jax.lax.scan(
+        body, (params, opt_state), keys)
     return params, opt_state, stats
 
 

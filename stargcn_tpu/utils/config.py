@@ -125,6 +125,9 @@ def default_cfg() -> EasyDict:
     cfg.TRAIN.HANG_TIMEOUT_S = 900.0
     cfg.TRAIN.MAX_RESTARTS = 2
     cfg.TRAIN.MAX_NAN_RECOVERIES = 3
+    # TPU-framework extension: on-device batch sampling inside the
+    # fused scan (single-chip fast path; see train/loop.py)
+    cfg.TRAIN.DEVICE_SAMPLER = False
 
     # TPU-framework extensions (absent in the reference)
     cfg.KERNEL = EasyDict()

@@ -7,6 +7,8 @@ Parity with the reference's ``gluon_total_param_num`` /
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -28,7 +30,9 @@ def model_info(params, save_path: str | None = None) -> str:
     lines.append(f"Total #Params: {total_param_num(params)}")
     text = "\n".join(lines)
     if save_path:
-        with open(save_path, "w") as f:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)),
+                exist_ok=True)
+    with open(save_path, "w") as f:
             f.write(text + "\n")
     return text
 

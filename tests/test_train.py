@@ -191,3 +191,93 @@ def test_lr_decay_logic():
         trainer.prepare_recon_batch(
             *list(next(trainer.data_iter.recon_nodes_sampler(10**6)))[:3:2]))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_device_sampler_fit(tmp_path):
+    """TRAIN.DEVICE_SAMPLER: on-device batch sampling inside the fused
+    scan — fit runs the full schedule and trains (loss finite, RMSE
+    sane) with zero per-step host arrays."""
+    from stargcn_tpu.data.iterators import DataIterator
+    from stargcn_tpu.data.synthetic import synthetic_graph
+    from stargcn_tpu.models import STARGCNConfig
+    from stargcn_tpu.train.loop import Trainer, TrainSettings
+
+    g = synthetic_graph(num_users=20, num_items=15, num_edges=200, seed=9)
+    csr = g["user", "movie"]
+    pairs = csr.node_pair_ids
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(pairs.shape[1])
+    it = DataIterator(g, "user", "movie",
+                      test_node_pairs=pairs[:, perm[:30]],
+                      valid_node_pairs=pairs[:, perm[30:60]],
+                      embed_P_mask=0.2, seed=0,
+                      embed_p_zero=1.0, embed_p_self=0.0)
+    cfg = STARGCNConfig(
+        num_users=20, num_items=15, num_links=len(csr.multi_link),
+        nblocks=2, use_dae=True, embed_units=4, agg_units=(10,),
+        out_units=(5,), agg_accum="sum", gcn_dropout=0.1,
+        gen_rating_mid_map=4)
+    s = TrainSettings(rating_batch_size=32, max_iter=12, log_interval=3,
+                      valid_interval=3, lr=1e-2, seed=0, scan_steps=3,
+                      device_sampler=True)
+    tr = Trainer(cfg, it, s, save_dir=str(tmp_path))
+    result = tr.fit()
+    assert np.isfinite(result["best_valid_rmse"])
+    assert result["best_test_rmse"] is not None
+
+
+def test_device_sampler_distribution():
+    """Sampled batch indices cover the train-edge set and recon masks
+    track P_mask (iid Bernoulli by design; documented delta vs the
+    exact-count host sampler)."""
+    import jax
+
+    from stargcn_tpu.data.iterators import DataIterator
+    from stargcn_tpu.data.synthetic import synthetic_graph
+    from stargcn_tpu.models import STARGCNConfig
+    import jax.numpy as jnp
+
+    from stargcn_tpu.train.loop import (Trainer, TrainSettings,
+                                        _device_sample_step_inputs)
+
+    g = synthetic_graph(num_users=30, num_items=25, num_edges=400, seed=4)
+    csr = g["user", "movie"]
+    pairs = csr.node_pair_ids
+    rng = np.random.RandomState(1)
+    perm = rng.permutation(pairs.shape[1])
+    it = DataIterator(g, "user", "movie",
+                      test_node_pairs=pairs[:, perm[:40]],
+                      valid_node_pairs=pairs[:, perm[40:80]],
+                      embed_P_mask=0.3, seed=0,
+                      embed_p_zero=1.0, embed_p_self=0.0)
+    cfg = STARGCNConfig(
+        num_users=30, num_items=25, num_links=len(csr.multi_link),
+        nblocks=1, use_dae=True, embed_units=4, agg_units=(8,),
+        out_units=(5,), agg_accum="sum", gcn_dropout=0.0,
+        gen_rating_mid_map=4)
+    s = TrainSettings(rating_batch_size=64, device_sampler=True, seed=0)
+    tr = Trainer(cfg, it, s)
+    tp = jnp.asarray(np.asarray(it.train_node_pairs, np.int32))
+    trr = jnp.asarray(np.asarray(it.train_ratings, np.float32))
+    tri = jnp.asarray(np.searchsorted(
+        np.asarray(it.possible_rating_values),
+        np.asarray(it.train_ratings)).astype(np.int32))
+    mask_fracs, all_pairs = [], set()
+    key_set = (set(map(tuple, np.asarray(it.train_node_pairs).T)))
+    for i in range(40):
+        ints, flts, noise, rmask, _ = jax.jit(
+            lambda k: _device_sample_step_inputs(tr, tp, trr, tri, k)
+        )(jax.random.PRNGKey(i))
+        ints = np.asarray(ints)
+        # every sampled pair is a train edge, with its true rating
+        for b in range(ints.shape[1]):
+            assert (ints[0, b], ints[1, b]) in key_set
+        all_pairs.update(map(tuple, ints[:2].T))
+        nu = np.asarray(noise[:30])
+        mu = np.asarray(rmask[:30])
+        # masked-to-zero nodes are exactly the selected ones (p_zero=1)
+        np.testing.assert_array_equal(nu == -1, mu > 0)
+        mask_fracs.append(mu.mean())
+    # coverage: with replacement over 40x64 draws of ~280 train edges
+    assert len(all_pairs) > 0.8 * it.train_node_pairs.shape[1]
+    assert abs(np.mean(mask_fracs) - 0.3) < 0.05
