@@ -125,6 +125,42 @@ def bench_ml100k_dense():
             "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
 
 
+def bench_ml100k_devsampler():
+    """Same workload as ml100k_dense, with ON-DEVICE batch sampling
+    (TRAIN.DEVICE_SAMPLER): the dispatch carries only RNG keys, so the
+    ~250 KB/step of host->device batch transfers disappear — the
+    TPU-native steady-state training pipeline."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _make_trainer
+
+    trainer = _make_trainer(batch=10000)
+    trainer.s.device_sampler = True
+    cfgm = trainer.model_cfg
+    E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
+    edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
+    K = 10
+
+    for _ in range(3):
+        stats = trainer.train_chunk_dev(K)
+    jax.block_until_ready(stats["loss"])
+    windows = []
+    for _ in range(5):
+        n_chunks = 5
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            stats = trainer.train_chunk_dev(K)
+        jax.block_until_ready(stats["loss"])
+        windows.append((time.perf_counter() - t0) / (n_chunks * K))
+    dt = _median(windows)
+    rate = edges_per_step / dt
+    return {"edge_msgs_per_s": round(rate, 1),
+            "step_ms": round(dt * 1e3, 3),
+            "backend": cfgm.backend,
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
+
+
 def _build_ml10m():
     """Synthetic graph + iterator at the real ML-10M dimensions (cached
     across scenarios)."""
@@ -309,7 +345,8 @@ def main():
     scenarios = {}
     plan = [("ml100k_dense", bench_ml100k_dense)]
     if not fast:
-        plan += [("ml10m_bitdense",
+        plan += [("ml100k_devsampler", bench_ml100k_devsampler),
+                 ("ml10m_bitdense",
                   lambda: bench_ml10m_ell(backend="bitdense")),
                  ("ml10m_ell", bench_ml10m_ell),
                  ("ml10m_sampled", bench_ml10m_sampled),
