@@ -57,6 +57,10 @@ def main():
                         help="override GRAPH_SAMPLER.NUM_NEIGHBORS "
                              "(> 0 selects the sampled mini-batch "
                              "trainer; -1 = full-graph)")
+    parser.add_argument("--device_sampler", action="store_true",
+                        help="sample batches ON DEVICE inside the fused "
+                             "scan (TRAIN.DEVICE_SAMPLER; single-chip "
+                             "fast path)")
     args = parser.parse_args()
 
     if args.platform:
@@ -93,6 +97,8 @@ def main():
         cfg.KERNEL.BACKEND = args.backend
     if args.num_neighbors is not None:
         cfg.GRAPH_SAMPLER.NUM_NEIGHBORS = args.num_neighbors
+    if args.device_sampler:
+        cfg.TRAIN.DEVICE_SAMPLER = True
     if args.mesh is not None:
         d, m = (int(x) for x in args.mesh.lower().split("x"))
         cfg.PARALLEL.DATA_AXIS = d
