@@ -4,8 +4,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
 "scenarios": {...}} covering four scenarios:
 
-  ml100k_dense   full training steps, ML-100k-sized graph, dense-MXU
-                 backend (the flagship latency case)       [primary metric]
+  ml100k_devsampler  full training steps, ML-100k-sized graph, dense-MXU
+                 backend, ON-DEVICE batch sampling (zero per-step host
+                 transfers — the steady-state pipeline)    [primary metric]
+  ml100k_dense   same workload with host-side batch sampling + transfer
+                 (the reference-shaped input pipeline)
   ml10m_ell      full-graph training steps on an ML-10M-sized graph
                  (69878 x 10677, 10M edges, 10 rating levels) through the
                  chunked-ELL backend (ops/chunked_ell.py)
@@ -343,10 +346,10 @@ def main():
 
     fast = os.environ.get("STARGCN_BENCH_SCOPE") == "fast"
     scenarios = {}
-    plan = [("ml100k_dense", bench_ml100k_dense)]
+    plan = [("ml100k_devsampler", bench_ml100k_devsampler),
+            ("ml100k_dense", bench_ml100k_dense)]
     if not fast:
-        plan += [("ml100k_devsampler", bench_ml100k_devsampler),
-                 ("ml10m_bitdense",
+        plan += [("ml10m_bitdense",
                   lambda: bench_ml10m_ell(backend="bitdense")),
                  ("ml10m_ell", bench_ml10m_ell),
                  ("ml10m_sampled", bench_ml10m_sampled),
@@ -360,7 +363,11 @@ def main():
             scenarios[name] = {"error": f"{type(e).__name__}: {e}"}
         scenarios[name]["scenario_wall_s"] = round(time.time() - t0, 1)
 
-    primary = scenarios["ml100k_dense"].get("edge_msgs_per_s", 0.0)
+    # Primary = the TPU-native steady-state pipeline (on-device batch
+    # sampling, zero per-step host transfers); falls back to the
+    # host-batched scenario if the device-sampler one errored.
+    primary = (scenarios["ml100k_devsampler"].get("edge_msgs_per_s")
+               or scenarios["ml100k_dense"].get("edge_msgs_per_s", 0.0))
     print(json.dumps({
         "metric": "train_step_edge_messages_per_s",
         "value": primary,
