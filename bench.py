@@ -257,7 +257,11 @@ def bench_ml10m_ell(steps=6, scan=3, backend="ell"):
 
 
 def bench_ml10m_sampled(iters=8):
-    """Sampled mini-batch mode on the ML-10M graph (fanout 8)."""
+    """Sampled mini-batch mode on the ML-10M graph (fanout 8), serial
+    plan-build + step (``SampledTrainer.fit(prefetch=False)``, the
+    default).  Measured on this 4-core host driving the remote TPU:
+    a prefetch thread starves the dispatch path (2.0-19 s/step vs
+    0.32 s serial), so overlap is opt-in for many-core hosts only."""
     import numpy as np
 
     from stargcn_tpu.train import build_model_config
@@ -278,8 +282,7 @@ def bench_ml10m_sampled(iters=8):
     trainer.train_iteration(batch)  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        batch = trainer._make_batch(rs, recon)
-        stats = trainer.train_iteration(batch)
+        stats = trainer.train_iteration(trainer._make_batch(rs, recon))
     float(stats["loss"])
     dt = (time.perf_counter() - t0) / iters
     # edge messages actually aggregated = sampled slots with weight > 0

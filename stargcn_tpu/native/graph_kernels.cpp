@@ -21,6 +21,7 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <random>
@@ -40,24 +41,30 @@ constexpr int kMaxEngines = 128;
 std::vector<std::mt19937> g_engines;
 
 void seed_engines(uint64_t seed) {
-  g_engines.clear();
-  g_engines.reserve(kMaxEngines);
+  // Reseed IN PLACE: the compute sections run with the GIL released, so
+  // another thread may hold a reference into g_engines — resizing the
+  // vector would dangle it.
+  if (g_engines.empty()) g_engines.resize(kMaxEngines);
   std::seed_seq seq{static_cast<uint32_t>(seed),
                     static_cast<uint32_t>(seed >> 32), 0x9e3779b9u};
   std::vector<uint32_t> seeds(kMaxEngines);
   seq.generate(seeds.begin(), seeds.end());
-  for (int i = 0; i < kMaxEngines; ++i) g_engines.emplace_back(seeds[i]);
+  for (int i = 0; i < kMaxEngines; ++i) g_engines[i].seed(seeds[i]);
 }
+
+// One engine slot per OS thread, handed out on first use.  OpenMP worker
+// threads, the Python main thread, and prefetch threads each get a
+// distinct engine, so concurrent sampling (possible now that the compute
+// sections release the GIL) never races one mt19937.  The first thread
+// to sample gets slot 0 — single-threaded draws match the pre-threading
+// behavior.
+std::atomic<int> g_thread_counter{0};
 
 std::mt19937& engine_for_thread() {
   // NOTE: engines are seeded eagerly at module init (PyInit) and on
   // set_seed; lazy init here would race when first touched inside an
   // OpenMP parallel region (observed heap corruption).
-#ifdef _OPENMP
-  int tid = omp_get_thread_num() % kMaxEngines;
-#else
-  int tid = 0;
-#endif
+  thread_local int tid = g_thread_counter.fetch_add(1) % kMaxEngines;
   return g_engines[tid];
 }
 
@@ -69,6 +76,20 @@ int num_threads_capped() {
   return 1;
 #endif
 }
+
+// Releases the GIL for the pure-C++ compute section of each kernel (no
+// Python/NumPy API calls allowed inside).  Standard CPython-extension
+// hygiene: host kernel calls (some 100+ ms at ML-10M scale) must not
+// block every other Python thread — the sampled-mode prefetch thread,
+// the resilience hang-monitor (utils/resilience.py), user logging
+// threads.  NOTE: releasing the GIL makes concurrent entry possible, so
+// RNG engines are per-OS-thread (see engine_for_thread) and set_seed
+// reseeds in place.
+struct GilScopedRelease {
+  PyThreadState* st;
+  GilScopedRelease() : st(PyEval_SaveThread()) {}
+  ~GilScopedRelease() { PyEval_RestoreThread(st); }
+};
 
 // --- small helpers to pull typed contiguous arrays out of args ---
 
@@ -172,17 +193,20 @@ PyObject* py_unique_inverse(PyObject*, PyObject* args) {
   if (!as_i32(in, &a)) return nullptr;
   std::vector<int32_t> uniq;
   std::vector<int32_t> inverse(a.size);
-  std::unordered_map<int32_t, int32_t> seen;
-  seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
-  for (npy_intp i = 0; i < a.size; ++i) {
-    auto it = seen.find(a.data[i]);
-    if (it == seen.end()) {
-      int32_t idx = static_cast<int32_t>(uniq.size());
-      seen.emplace(a.data[i], idx);
-      uniq.push_back(a.data[i]);
-      inverse[i] = idx;
-    } else {
-      inverse[i] = it->second;
+  {
+    GilScopedRelease nogil;
+    std::unordered_map<int32_t, int32_t> seen;
+    seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
+    for (npy_intp i = 0; i < a.size; ++i) {
+      auto it = seen.find(a.data[i]);
+      if (it == seen.end()) {
+        int32_t idx = static_cast<int32_t>(uniq.size());
+        seen.emplace(a.data[i], idx);
+        uniq.push_back(a.data[i]);
+        inverse[i] = idx;
+      } else {
+        inverse[i] = it->second;
+      }
     }
   }
   Py_DECREF(a.arr);
@@ -196,16 +220,19 @@ PyObject* py_unique_cnt(PyObject*, PyObject* args) {
   if (!as_i32(in, &a)) return nullptr;
   std::vector<int32_t> uniq;
   std::vector<int32_t> cnt;
-  std::unordered_map<int32_t, int32_t> seen;
-  seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
-  for (npy_intp i = 0; i < a.size; ++i) {
-    auto it = seen.find(a.data[i]);
-    if (it == seen.end()) {
-      seen.emplace(a.data[i], static_cast<int32_t>(uniq.size()));
-      uniq.push_back(a.data[i]);
-      cnt.push_back(1);
-    } else {
-      ++cnt[it->second];
+  {
+    GilScopedRelease nogil;
+    std::unordered_map<int32_t, int32_t> seen;
+    seen.reserve(static_cast<size_t>(a.size) * 2 + 16);
+    for (npy_intp i = 0; i < a.size; ++i) {
+      auto it = seen.find(a.data[i]);
+      if (it == seen.end()) {
+        seen.emplace(a.data[i], static_cast<int32_t>(uniq.size()));
+        uniq.push_back(a.data[i]);
+        cnt.push_back(1);
+      } else {
+        ++cnt[it->second];
+      }
     }
   }
   Py_DECREF(a.arr);
@@ -229,16 +256,19 @@ PyObject* py_take_1d(PyObject*, PyObject* args) {
   }
   npy_intp dims[1] = {idx.size};
   PyObject* out_obj = PyArray_SimpleNew(1, dims, type);
+  if (!out_obj) { Py_DECREF(idx.arr); Py_DECREF(data); return nullptr; }
   if (type == NPY_INT32) {
     const int32_t* d = static_cast<const int32_t*>(PyArray_DATA(data));
     int32_t* o = static_cast<int32_t*>(PyArray_DATA(
         reinterpret_cast<PyArrayObject*>(out_obj)));
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
     for (npy_intp i = 0; i < idx.size; ++i) o[i] = d[idx.data[i]];
   } else {
     const float* d = static_cast<const float*>(PyArray_DATA(data));
     float* o = static_cast<float*>(PyArray_DATA(
         reinterpret_cast<PyArrayObject*>(out_obj)));
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
     for (npy_intp i = 0; i < idx.size; ++i) o[i] = d[idx.data[i]];
   }
@@ -257,12 +287,16 @@ PyObject* py_gen_row_indices(PyObject*, PyObject* args) {
   if (!as_i32(indptr_obj, &p)) return nullptr;
   npy_intp dims[1] = {static_cast<npy_intp>(nnz)};
   PyObject* out_obj = PyArray_SimpleNew(1, dims, NPY_INT32);
+  if (!out_obj) { Py_DECREF(p.arr); return nullptr; }
   int32_t* o = static_cast<int32_t*>(PyArray_DATA(
       reinterpret_cast<PyArrayObject*>(out_obj)));
   npy_intp rows = p.size - 1;
+  {
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < rows; ++i) {
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) o[j] = (int32_t)i;
+    for (npy_intp i = 0; i < rows; ++i) {
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) o[j] = (int32_t)i;
+    }
   }
   Py_DECREF(p.arr);
   return out_obj;
@@ -278,11 +312,14 @@ PyObject* py_seg_sum(PyObject*, PyObject* args) {
   if (!as_i32(p_obj, &p)) { Py_DECREF(d.arr); return nullptr; }
   npy_intp segs = p.size - 1;
   std::vector<float> out(segs, 0.f);
+  {
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < segs; ++i) {
-    float acc = 0.f;
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) acc += d.data[j];
-    out[i] = acc;
+    for (npy_intp i = 0; i < segs; ++i) {
+      float acc = 0.f;
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) acc += d.data[j];
+      out[i] = acc;
+    }
   }
   Py_DECREF(d.arr); Py_DECREF(p.arr);
   return make_f32(out);
@@ -299,11 +336,14 @@ PyObject* seg_binary(PyObject* args, SegBinOp op) {
   if (!as_i32(p_obj, &p)) { Py_DECREF(l.arr); Py_DECREF(r.arr); return nullptr; }
   std::vector<float> out(l.size);
   npy_intp segs = p.size - 1;
+  {
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < segs; ++i) {
-    float v = r.data[i];
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
-      out[j] = (op == SegBinOp::kAdd) ? l.data[j] + v : l.data[j] * v;
+    for (npy_intp i = 0; i < segs; ++i) {
+      float v = r.data[i];
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+        out[j] = (op == SegBinOp::kAdd) ? l.data[j] + v : l.data[j] * v;
+      }
     }
   }
   Py_DECREF(l.arr); Py_DECREF(r.arr); Py_DECREF(p.arr);
@@ -333,18 +373,21 @@ PyObject* py_get_support(PyObject*, PyObject* args) {
   }
   std::vector<float> out(ep.size, 0.f);
   npy_intp rows = p.size - 1;
+  {
+    GilScopedRelease nogil;
 #pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < rows; ++i) {
-    int32_t r_deg = rd.data[i];
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
-      if (symm) {
-        int32_t c_deg = cd.data[ep.data[j]];
-        if (r_deg != 0 && c_deg != 0) {
-          out[j] = std::sqrt(1.0f / static_cast<float>(r_deg) /
-                             static_cast<float>(c_deg));
+    for (npy_intp i = 0; i < rows; ++i) {
+      int32_t r_deg = rd.data[i];
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+        if (symm) {
+          int32_t c_deg = cd.data[ep.data[j]];
+          if (r_deg != 0 && c_deg != 0) {
+            out[j] = std::sqrt(1.0f / static_cast<float>(r_deg) /
+                               static_cast<float>(c_deg));
+          }
+        } else if (r_deg != 0) {
+          out[j] = 1.0f / static_cast<float>(r_deg);
         }
-      } else if (r_deg != 0) {
-        out[j] = 1.0f / static_cast<float>(r_deg);
       }
     }
   }
@@ -367,33 +410,39 @@ PyObject* py_csr_submat(PyObject*, PyObject* args) {
   if (!as_i32(ci_obj, &ci)) {
     Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(ri.arr); return nullptr;
   }
-  std::vector<int32_t> col_map(num_cols, -1);
-  for (npy_intp i = 0; i < ci.size; ++i) col_map[ci.data[i]] = (int32_t)i;
-
-  std::vector<int32_t> counts(ri.size, 0);
-#pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < ri.size; ++i) {
-    int32_t r = ri.data[i];
-    int32_t c = 0;
-    for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
-      if (col_map[ep.data[j]] >= 0) ++c;
-    }
-    counts[i] = c;
-  }
   std::vector<int32_t> new_ptr(ri.size + 1, 0);
-  for (npy_intp i = 0; i < ri.size; ++i) new_ptr[i + 1] = new_ptr[i] + counts[i];
-  std::vector<int32_t> new_ep(new_ptr.back());
-  std::vector<int64_t> edge_idx(new_ptr.back());
+  std::vector<int32_t> new_ep;
+  std::vector<int64_t> edge_idx;
+  {
+    GilScopedRelease nogil;
+    std::vector<int32_t> col_map(num_cols, -1);
+    for (npy_intp i = 0; i < ci.size; ++i) col_map[ci.data[i]] = (int32_t)i;
+
+    std::vector<int32_t> counts(ri.size, 0);
 #pragma omp parallel for num_threads(num_threads_capped())
-  for (npy_intp i = 0; i < ri.size; ++i) {
-    int32_t r = ri.data[i];
-    int32_t pos = new_ptr[i];
-    for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
-      int32_t c = col_map[ep.data[j]];
-      if (c >= 0) {
-        new_ep[pos] = c;
-        edge_idx[pos] = j;
-        ++pos;
+    for (npy_intp i = 0; i < ri.size; ++i) {
+      int32_t r = ri.data[i];
+      int32_t c = 0;
+      for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
+        if (col_map[ep.data[j]] >= 0) ++c;
+      }
+      counts[i] = c;
+    }
+    for (npy_intp i = 0; i < ri.size; ++i)
+      new_ptr[i + 1] = new_ptr[i] + counts[i];
+    new_ep.resize(new_ptr.back());
+    edge_idx.resize(new_ptr.back());
+#pragma omp parallel for num_threads(num_threads_capped())
+    for (npy_intp i = 0; i < ri.size; ++i) {
+      int32_t r = ri.data[i];
+      int32_t pos = new_ptr[i];
+      for (int32_t j = p.data[r]; j < p.data[r + 1]; ++j) {
+        int32_t c = col_map[ep.data[j]];
+        if (c >= 0) {
+          new_ep[pos] = c;
+          edge_idx[pos] = j;
+          ++pos;
+        }
       }
     }
   }
@@ -415,23 +464,26 @@ PyObject* py_multi_link_split(PyObject*, PyObject* args) {
   int R = static_cast<int>(ml.size);
   std::vector<std::vector<int32_t>> sel(R);
   std::vector<std::vector<int32_t>> ptrs(R);
-  for (int r = 0; r < R; ++r) {
-    ptrs[r].assign(rows + 1, 0);
-    sel[r].reserve(v.size / (R > 0 ? R : 1) + 1);
-  }
-  for (npy_intp i = 0; i < rows; ++i) {
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
-      for (int r = 0; r < R; ++r) {
-        if (v.data[j] == ml.data[r]) {
-          sel[r].push_back(j);
-          ++ptrs[r][i + 1];
-          break;
+  {
+    GilScopedRelease nogil;
+    for (int r = 0; r < R; ++r) {
+      ptrs[r].assign(rows + 1, 0);
+      sel[r].reserve(v.size / (R > 0 ? R : 1) + 1);
+    }
+    for (npy_intp i = 0; i < rows; ++i) {
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) {
+        for (int r = 0; r < R; ++r) {
+          if (v.data[j] == ml.data[r]) {
+            sel[r].push_back(j);
+            ++ptrs[r][i + 1];
+            break;
+          }
         }
       }
     }
-  }
-  for (int r = 0; r < R; ++r) {
-    for (npy_intp i = 0; i < rows; ++i) ptrs[r][i + 1] += ptrs[r][i];
+    for (int r = 0; r < R; ++r) {
+      for (npy_intp i = 0; i < rows; ++i) ptrs[r][i + 1] += ptrs[r][i];
+    }
   }
   Py_DECREF(v.arr); Py_DECREF(p.arr); Py_DECREF(ml.arr);
   PyObject* sel_list = PyList_New(R);
@@ -466,13 +518,16 @@ PyObject* py_sample_fix_neighbor(PyObject*, PyObject* args) {
   if (!as_i32(p_obj, &p)) return nullptr;
   if (!as_i32(sel_obj, &sel)) { Py_DECREF(p.arr); return nullptr; }
   std::vector<int32_t> new_ptr(sel.size + 1, 0);
+  std::vector<int64_t> out;
+  {
+  GilScopedRelease nogil;
   for (npy_intp i = 0; i < sel.size; ++i) {
     int32_t r = sel.data[i];
     int32_t deg = p.data[r + 1] - p.data[r];
     int32_t take = (num_neighbors < 0) ? deg : std::min(deg, num_neighbors);
     new_ptr[i + 1] = new_ptr[i] + take;
   }
-  std::vector<int64_t> out(new_ptr.back());
+  out.resize(new_ptr.back());
 #pragma omp parallel for num_threads(num_threads_capped())
   for (npy_intp i = 0; i < sel.size; ++i) {
     int32_t r = sel.data[i];
@@ -499,6 +554,7 @@ PyObject* py_sample_fix_neighbor(PyObject*, PyObject* args) {
       }
     }
   }
+  }
   Py_DECREF(p.arr); Py_DECREF(sel.arr);
   return pack_steal({make_i64(out), make_i32(new_ptr)});
 }
@@ -516,15 +572,19 @@ PyObject* py_remove_edges(PyObject*, PyObject* args) {
   npy_intp nnz = p.data[p.size - 1];
   std::vector<uint8_t> keep(nnz, 1);
   const int64_t* rmd = static_cast<const int64_t*>(PyArray_DATA(rm));
-  for (npy_intp i = 0; i < PyArray_SIZE(rm); ++i) {
-    if (rmd[i] >= 0 && rmd[i] < nnz) keep[rmd[i]] = 0;
-  }
+  const npy_intp rm_size = PyArray_SIZE(rm);
   std::vector<int32_t> new_ptr(p.size, 0);
-  npy_intp rows = p.size - 1;
-  for (npy_intp i = 0; i < rows; ++i) {
-    int32_t cnt = 0;
-    for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) cnt += keep[j];
-    new_ptr[i + 1] = new_ptr[i] + cnt;
+  {
+    GilScopedRelease nogil;
+    for (npy_intp i = 0; i < rm_size; ++i) {
+      if (rmd[i] >= 0 && rmd[i] < nnz) keep[rmd[i]] = 0;
+    }
+    npy_intp rows = p.size - 1;
+    for (npy_intp i = 0; i < rows; ++i) {
+      int32_t cnt = 0;
+      for (int32_t j = p.data[i]; j < p.data[i + 1]; ++j) cnt += keep[j];
+      new_ptr[i + 1] = new_ptr[i] + cnt;
+    }
   }
   npy_intp dims[1] = {nnz};
   PyObject* keep_obj = PyArray_SimpleNew(1, dims, NPY_BOOL);
@@ -551,13 +611,15 @@ PyObject* py_random_walk(PyObject*, PyObject* args) {
   if (!as_i32(ep_obj, &ep)) return nullptr;
   if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
   int node_num = static_cast<int>(p.size) - 1;
+  std::vector<int32_t> src, dst;
+  {
+  GilScopedRelease nogil;
   std::mt19937& eng = engine_for_thread();
   if (initial_node < 0) {
     std::uniform_int_distribution<int> dis(0, node_num - 1);
     initial_node = dis(eng);
   }
   std::bernoulli_distribution dis_return(return_prob);
-  std::vector<int32_t> src, dst;
   std::unordered_set<int64_t> edge_set;
   std::unordered_set<int32_t> node_set{initial_node};
   int cur = initial_node;
@@ -583,6 +645,7 @@ PyObject* py_random_walk(PyObject*, PyObject* args) {
     }
     cur = nxt;
   }
+  }
   Py_DECREF(ep.arr); Py_DECREF(p.arr);
   return pack_steal({make_i32(src), make_i32(dst)});
 }
@@ -597,17 +660,20 @@ PyObject* py_get_random_walk_nodes(PyObject*, PyObject* args) {
   I32View ep, p;
   if (!as_i32(ep_obj, &ep)) return nullptr;
   if (!as_i32(p_obj, &p)) { Py_DECREF(ep.arr); return nullptr; }
-  std::mt19937& eng = engine_for_thread();
-  std::unordered_set<int32_t> seen{initial_node};
   std::vector<int32_t> order{initial_node};
-  int cur = initial_node;
-  for (int i = 0; i < walk_length; ++i) {
-    int beg = p.data[cur], end = p.data[cur + 1];
-    if (end <= beg) break;
-    std::uniform_int_distribution<int> dis(beg, end - 1);
-    cur = ep.data[dis(eng)];
-    if (seen.insert(cur).second) order.push_back(cur);
-    if (static_cast<int>(seen.size()) >= max_node_num) break;
+  {
+    GilScopedRelease nogil;
+    std::mt19937& eng = engine_for_thread();
+    std::unordered_set<int32_t> seen{initial_node};
+    int cur = initial_node;
+    for (int i = 0; i < walk_length; ++i) {
+      int beg = p.data[cur], end = p.data[cur + 1];
+      if (end <= beg) break;
+      std::uniform_int_distribution<int> dis(beg, end - 1);
+      cur = ep.data[dis(eng)];
+      if (seen.insert(cur).second) order.push_back(cur);
+      if (static_cast<int>(seen.size()) >= max_node_num) break;
+    }
   }
   Py_DECREF(ep.arr); Py_DECREF(p.arr);
   return make_i32(order);
@@ -628,8 +694,10 @@ PyObject* py_uniform_neg_sampling(PyObject*, PyObject* args) {
   if (!as_i32(tgt_obj, &tgt)) {
     Py_DECREF(ep.arr); Py_DECREF(p.arr); return nullptr;
   }
-  std::mt19937& eng = engine_for_thread();
   std::vector<int32_t> out_ep, out_label, out_cnt, out_ptr(tgt.size + 1, 0);
+  {
+  GilScopedRelease nogil;
+  std::mt19937& eng = engine_for_thread();
   for (npy_intp i = 0; i < tgt.size; ++i) {
     int ind = tgt.data[i];
     int beg = p.data[ind], end = p.data[ind + 1];
@@ -687,6 +755,7 @@ PyObject* py_uniform_neg_sampling(PyObject*, PyObject* args) {
     }
     out_ptr[i + 1] = static_cast<int32_t>(out_ep.size());
   }
+  }
   Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(tgt.arr);
   return pack_steal({make_i32(out_ep), make_i32(out_ptr),
                      make_i32(out_label), make_i32(out_cnt)});
@@ -713,9 +782,12 @@ PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
     Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(ids.arr);
     return nullptr;
   }
+  std::vector<int32_t> merged_ids;
+  std::vector<int32_t> dst_ep, dst_ptr(sel.size + 1, 0), sel_in_merged;
+  {
+  GilScopedRelease nogil;
   std::mt19937& eng = engine_for_thread();
   std::unordered_map<int32_t, int32_t> merged_map;
-  std::vector<int32_t> merged_ids;
   auto intern = [&](int32_t node_id) {
     auto it = merged_map.find(node_id);
     if (it != merged_map.end()) return it->second;
@@ -724,7 +796,6 @@ PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
     merged_ids.push_back(node_id);
     return idx;
   };
-  std::vector<int32_t> dst_ep, dst_ptr(sel.size + 1, 0), sel_in_merged;
   for (npy_intp i = 0; i < sel.size; ++i) {
     int ind = sel.data[i];
     sel_in_merged.push_back(intern(ids.data[ind]));
@@ -747,6 +818,7 @@ PyObject* py_sample_and_merge(PyObject*, PyObject* args) {
       }
     }
     dst_ptr[i + 1] = static_cast<int32_t>(dst_ep.size());
+  }
   }
   Py_DECREF(ep.arr); Py_DECREF(p.arr); Py_DECREF(ids.arr);
   Py_DECREF(sel.arr);
@@ -799,7 +871,11 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
 
   // 1. masked degree histogram per destination (parallel partials)
   std::vector<int64_t> deg(static_cast<size_t>(num_dst), 0);
+  std::vector<int64_t> row_offset(static_cast<size_t>(num_dst) + 1, 0);
+  int64_t n_real = 0;
+  int64_t V_pad = 0;
   {
+    GilScopedRelease nogil;
     const int nt = num_threads_capped();
     std::vector<std::vector<int64_t>> part(
         nt, std::vector<int64_t>(static_cast<size_t>(num_dst), 0));
@@ -825,18 +901,16 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
       for (int t = 0; t < nt; ++t) s += part[t][d];
       deg[d] = s;
     }
-  }
 
-  // 2. virtual-row offsets
-  std::vector<int64_t> row_offset(static_cast<size_t>(num_dst) + 1, 0);
-  int64_t n_real = 0;
-  for (int d = 0; d < num_dst; ++d) {
-    row_offset[d + 1] = row_offset[d] + (deg[d] + K - 1) / K;
-    n_real += deg[d];
+    // 2. virtual-row offsets
+    for (int d = 0; d < num_dst; ++d) {
+      row_offset[d + 1] = row_offset[d] + (deg[d] + K - 1) / K;
+      n_real += deg[d];
+    }
+    V_pad = ((row_offset[num_dst] + row_pad - 1) / row_pad) * row_pad;
+    if (V_pad < row_pad) V_pad = row_pad;
   }
   const int64_t V = row_offset[num_dst];
-  int64_t V_pad = ((V + row_pad - 1) / row_pad) * row_pad;
-  if (V_pad < row_pad) V_pad = row_pad;
 
   npy_intp slot_dims[1] = {static_cast<npy_intp>(V_pad) * K};
   npy_intp row_dims[1] = {static_cast<npy_intp>(V_pad)};
@@ -855,6 +929,8 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
       PyArray_DATA(reinterpret_cast<PyArrayObject*>(rat_arr)));
   int32_t* row_out = static_cast<int32_t*>(
       PyArray_DATA(reinterpret_cast<PyArrayObject*>(row_arr)));
+  {
+  GilScopedRelease nogil;
 #ifdef _OPENMP
 #pragma omp parallel for
 #endif
@@ -888,6 +964,7 @@ PyObject* py_build_chunked_ell(PyObject*, PyObject* args) {
   // sentinels, so they contribute nothing to the last segment.
   const int32_t pad_row = num_dst > 0 ? num_dst - 1 : 0;
   for (int64_t v = V; v < V_pad; ++v) row_out[v] = pad_row;
+  }
 
   release_inputs();
   return pack_steal({idx_arr, rat_arr, row_arr,
@@ -948,6 +1025,8 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
   const int64_t d8l = d8, spl = s_pad;
   const int64_t il = interleave, half = il / 2;
   const int64_t ril = row_interleave, rhalf = ril / 2;
+  {
+  GilScopedRelease nogil;
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(num_threads_capped())
 #endif
@@ -971,6 +1050,7 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
 #else
     P[idx] |= bit;
 #endif
+  }
   }
   release_inputs();
   return p_arr;

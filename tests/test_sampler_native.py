@@ -148,3 +148,45 @@ def test_uniform_neg_sampling_distribution():
     assert np.all(got > 0)
     assert np.all(np.abs(got - expected) < 0.25 * expected), (
         got, expected)
+
+
+def test_concurrent_sampling_thread_safety():
+    """The native kernels release the GIL in their compute sections
+    (graph_kernels.cpp GilScopedRelease) so the sampled-mode prefetch
+    thread can build plans while the main thread dispatches.  Hammer the
+    RNG-carrying samplers from several threads at once: per-OS-thread
+    engine slots must keep this race-free (no crash, every result
+    structurally valid)."""
+    import threading
+
+    rng = np.random.RandomState(7)
+    n_rows, n_cols = 300, 200
+    deg = 12
+    ep = rng.randint(0, n_cols, size=n_rows * deg).astype(np.int32)
+    ptr = (np.arange(n_rows + 1) * deg).astype(np.int32)
+    ids = np.arange(max(n_rows, n_cols), dtype=np.int32)
+    K.set_seed(99)
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(50):
+                sel = rng.randint(0, n_rows, size=64).astype(np.int32)
+                d_ep, d_ptr, merged, sel_pos = (
+                    K.random_sel_neighbor_and_merge(ep, ptr, ids, sel, 4))
+                assert d_ptr[-1] == d_ep.size
+                assert np.all(d_ep >= 0) and np.all(d_ep < merged.size)
+                assert np.unique(merged).size == merged.size
+                e, p, lab, cnt = K.uniform_neg_sampling(
+                    ep[:deg], ptr[:2].copy(), np.zeros(1, np.int32),
+                    node_num=n_cols, neg_sample_scale=1.0, replace=False)
+                assert p[-1] == e.size
+        except Exception as exc:  # surface across the thread boundary
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
