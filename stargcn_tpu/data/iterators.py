@@ -179,6 +179,14 @@ class DataIterator:
         return self._all_graph[self._name_user, self._name_item].multi_link
 
     @property
+    def name_user(self):
+        return self._name_user
+
+    @property
+    def name_item(self):
+        return self._name_item
+
+    @property
     def evaluate_embed_noise_dict(self):
         return self._evaluate_embed_noise_dict
 

@@ -126,7 +126,7 @@ class STARGCN(nn.Module):
                  noise_item, pairs_user, pairs_item, user_features=None,
                  item_features=None, dense_adj=None, removed_pairs=None,
                  variant_degrees=None, ell_pack=None, *,
-                 train: bool = False):
+                 train: bool = False, return_rating_feats: bool = False):
         cfg = self.cfg
         act = get_activation(cfg.activation)
 
@@ -323,6 +323,7 @@ class STARGCN(nn.Module):
         gen_ratings = InnerProductLayer(name="gen_ratings")
 
         pred_ratings, pred_embed = [], []
+        rating_feats = None
         feats = input_feat
         for block_id in range(cfg.nblocks):
             pidx = 0 if cfg.use_recurrent else block_id
@@ -334,6 +335,16 @@ class STARGCN(nn.Module):
             score = gen_ratings(user_projs[pidx](u_rows),
                                 item_projs[pidx](i_rows))
             pred_ratings.append(score[:, 0])
+
+            # Serving export: the LAST block's projected node states are
+            # a complete scoring artifact — gen_ratings is a pure inner
+            # product (mid_units=None), so rating(u, i) = feats_u . feats_i
+            # for every pair without re-running the GCN (stargcn_tpu/serve.py).
+            if return_rating_feats and block_id == cfg.nblocks - 1:
+                rating_feats = {
+                    "user": user_projs[pidx](output["user"]),
+                    "item": item_projs[pidx](output["item"]),
+                }
 
             # decoder / next-block input (STAR-GCN.py:441-459): the same
             # embed_map serves both, so compute it once over all nodes.
@@ -349,11 +360,14 @@ class STARGCN(nn.Module):
                         feats = {k: jnp.concatenate([feats[k], fea_proj[k]],
                                                     -1) for k in feats}
 
-        return {
+        out = {
             "pred_ratings": jnp.stack(pred_ratings, axis=0),
             "pred_embed": pred_embed,
             "gt_embed": gt_embed,
         }
+        if return_rating_feats:
+            out["rating_feats"] = rating_feats
+        return out
 
 
 def _norm_scales(cfg, deg_u, deg_i):
