@@ -341,6 +341,43 @@ def bench_pallas_ell(D=8192, S=8192, K=8, F=256):
             "grads_finite_on_hw": True}
 
 
+def bench_serving(num_users=70_000, num_items=11_000, mid=64, k=10):
+    """Serving-path throughput (stargcn_tpu/serve.py): top-K
+    recommendation over an ML-10M-sized catalog = one (B, mid) x
+    (mid, Ni) MXU matmul + lax.top_k per batch, and pairwise rating
+    prediction.  Measures the deployable artifact path end to end
+    (host ids in, ranked items out)."""
+    import numpy as np
+
+    from stargcn_tpu.serve import Predictor, ServingArtifact
+
+    rng = np.random.RandomState(0)
+    art = ServingArtifact(
+        user_feats=rng.normal(size=(num_users, mid)).astype(np.float32),
+        item_feats=rng.normal(size=(num_items, mid)).astype(np.float32),
+        rating_mean=3.5, rating_std=1.1, rating_min=0.5, rating_max=5.0)
+    pred = Predictor(art, batch_size=8192, recommend_batch=2048)
+
+    uu = rng.randint(0, num_users, 8192).astype(np.int32)
+    ii = rng.randint(0, num_items, 8192).astype(np.int32)
+    pred.predict(uu, ii)  # compile
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        pred.predict(uu, ii)
+    t_pred = (time.perf_counter() - t0) / n
+
+    qu = rng.randint(0, num_users, 16384).astype(np.int32)
+    pred.recommend(qu[:2048], k=k, exclude_rated=False)  # compile
+    t0 = time.perf_counter()
+    idx, _ = pred.recommend(qu, k=k, exclude_rated=False)
+    t_rec = time.perf_counter() - t0
+    assert idx.shape == (16384, k)
+    return {"predict_pairs_per_s": round(8192 / t_pred, 1),
+            "recommend_users_per_s": round(16384 / t_rec, 1),
+            "catalog": num_items, "mid_units": mid, "k": k}
+
+
 def main():
     import jax
 
@@ -356,7 +393,8 @@ def main():
                   lambda: bench_ml10m_ell(backend="bitdense")),
                  ("ml10m_ell", bench_ml10m_ell),
                  ("ml10m_sampled", bench_ml10m_sampled),
-                 ("pallas_ell", bench_pallas_ell)]
+                 ("pallas_ell", bench_pallas_ell),
+                 ("serving", bench_serving)]
     for name, fn in plan:
         t0 = time.time()
         try:
