@@ -264,10 +264,10 @@ def test_device_sampler_distribution():
         np.asarray(it.train_ratings)).astype(np.int32))
     mask_fracs, all_pairs = [], set()
     key_set = (set(map(tuple, np.asarray(it.train_node_pairs).T)))
+    sample = jax.jit(
+        lambda k: _device_sample_step_inputs(tr, tp, trr, tri, k))
     for i in range(40):
-        ints, flts, noise, rmask, _ = jax.jit(
-            lambda k: _device_sample_step_inputs(tr, tp, trr, tri, k)
-        )(jax.random.PRNGKey(i))
+        ints, flts, noise, rmask, _ = sample(jax.random.PRNGKey(i))
         ints = np.asarray(ints)
         # every sampled pair is a train edge, with its true rating
         for b in range(ints.shape[1]):
