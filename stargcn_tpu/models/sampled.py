@@ -143,20 +143,53 @@ class StackedPlan:
                            cross_gather=cross_gather, recon_ids=recon_ids,
                            recon_pos=recon_pos)
 
+    def as_host_tree(self):
+        """The ``as_device()`` tree with NUMPY leaves (no transfers).
+
+        Feed through :func:`pack_tree` to ship the whole plan to the
+        device as two flat buffers: the plan is ~30 small arrays, and a
+        per-array transfer pays the full host->device dispatch latency
+        each time — the dominant cost of a sampled step on a remote
+        runtime (measured: the packed path cut the ML-10M sampled step
+        from ~310 ms to the device-bound floor)."""
+        return {
+            "frontiers": [
+                {t: np.asarray(f[t]) for t in ("user", "item")}
+                for c in self.chains for f in [c.frontiers[0]]],
+            "blocks": [[{t: _blk_host(lvl[t],
+                                      len(c.frontiers[li][_SRC_OF[t]]))
+                         for t in ("user", "item")}
+                        for li, lvl in enumerate(c.blocks)]
+                       for c in self.chains],
+            "pairs_pos": [{t: np.asarray(p[t]) for t in ("user", "item")}
+                          for p in self.pairs_pos],
+            "cross_gather": [
+                None if cg is None else
+                {t: (np.asarray(cg[t][0]), np.asarray(cg[t][1]))
+                 for t in ("user", "item")}
+                for cg in self.cross_gather],
+            "recon_pos": [
+                {t: (np.asarray(rp[t][0]), np.asarray(rp[t][1]))
+                 for t in ("user", "item")}
+                for rp in self.recon_pos],
+            "recon_ids": {t: np.asarray(self.recon_ids[t])
+                          for t in ("user", "item")},
+        }
+
     def as_device(self):
         """Jittable pytree of the plan's arrays (shapes are static for a
         capped sampler, so one compiled step serves every batch)."""
-        def blk(b):
-            return {"nbr_pos": jnp.asarray(b.nbr_pos),
-                    "weight": jnp.asarray(b.weight),
-                    "rating": jnp.asarray(b.rating)}
-
         return {
             "frontiers": [
                 {t: jnp.asarray(f[t]) for t in ("user", "item")}
                 for c in self.chains for f in [c.frontiers[0]]],
-            "blocks": [[{t: blk(lvl[t]) for t in ("user", "item")}
-                        for lvl in c.blocks] for c in self.chains],
+            "blocks": [[{t: jax.tree_util.tree_map(
+                             jnp.asarray,
+                             _blk_host(lvl[t],
+                                       len(c.frontiers[li][_SRC_OF[t]])))
+                         for t in ("user", "item")}
+                        for li, lvl in enumerate(c.blocks)]
+                       for c in self.chains],
             "pairs_pos": [{t: jnp.asarray(p[t]) for t in ("user", "item")}
                           for p in self.pairs_pos],
             "cross_gather": [
@@ -171,6 +204,66 @@ class StackedPlan:
             "recon_ids": {t: jnp.asarray(self.recon_ids[t])
                           for t in ("user", "item")},
         }
+
+
+_SRC_OF = {"user": "item", "item": "user"}
+
+
+def _blk_host(b, n_src):
+    """ELL block as shipped arrays: the per-slot rating level and source
+    position fold into ONE combined index ``rating * n_src + nbr_pos``
+    (what :func:`_ell_aggregate` indexes the (R*n_src, units) projection
+    with) — halving the plan's int payload; the 'stack' accumulator
+    recovers the rating as ``idx // n_src`` on device."""
+    return {"idx": (np.asarray(b.rating) * np.int32(n_src)
+                    + np.asarray(b.nbr_pos)).astype(np.int32),
+            "weight": np.asarray(b.weight)}
+
+
+def pack_tree(tree):
+    """Flatten a numpy pytree into ``(int_buf, float_buf, spec)``.
+
+    One int32 and one float32 buffer carry every leaf, so a jitted step
+    taking the pair costs exactly TWO host->device transfers no matter
+    how many arrays the plan holds.  ``spec`` is hashable (treedef +
+    per-leaf (is_float, offset, shape)) — pass it as a static jit
+    argument and rebuild the tree inside the trace with
+    :func:`unpack_tree` (static slices: free for XLA)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    int_parts, flt_parts, metas = [], [], []
+    io = fo = 0
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if a.dtype == np.int64:
+            a = a.astype(np.int32)
+        if a.dtype == np.float32:
+            metas.append((True, fo, a.shape))
+            flt_parts.append(a.ravel())
+            fo += a.size
+        elif a.dtype == np.int32:
+            metas.append((False, io, a.shape))
+            int_parts.append(a.ravel())
+            io += a.size
+        else:
+            raise TypeError(f"pack_tree: unsupported dtype {a.dtype}")
+    ibuf = (np.concatenate(int_parts) if int_parts
+            else np.zeros(0, np.int32))
+    fbuf = (np.concatenate(flt_parts) if flt_parts
+            else np.zeros(0, np.float32))
+    return ibuf, fbuf, (treedef, tuple(metas))
+
+
+def unpack_tree(int_buf, float_buf, spec):
+    """Inverse of :func:`pack_tree`; call INSIDE jit."""
+    treedef, metas = spec
+    leaves = []
+    for is_float, off, shape in metas:
+        buf = float_buf if is_float else int_buf
+        n = 1
+        for d in shape:
+            n *= d
+        leaves.append(buf[off:off + n].reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _masked_embed_rows(table, ids, noise):
@@ -192,7 +285,7 @@ def _ell_aggregate(proj, block, accum, use_pallas):
     """
     R, n_src, units = proj.shape
     flat = proj.reshape(R * n_src, units)
-    idx = block["rating"] * n_src + block["nbr_pos"]
+    idx = block["idx"]  # rating * n_src + nbr_pos, combined on host
     w = block["weight"]
     if accum == "sum":
         if use_pallas:
@@ -202,7 +295,7 @@ def _ell_aggregate(proj, block, accum, use_pallas):
         return (jnp.take(flat, idx, axis=0) * w[:, :, None]).sum(axis=1)
     # 'stack': msg[n,k,u] routed to channel block rating[n,k].
     msg = jnp.take(flat, idx, axis=0) * w[:, :, None]              # N,K,U
-    onehot = jax.nn.one_hot(block["rating"], R, dtype=msg.dtype)   # N,K,R
+    onehot = jax.nn.one_hot(idx // n_src, R, dtype=msg.dtype)      # N,K,R
     pooled = jnp.einsum("nku,nkr->nru", msg, onehot,
                         preferred_element_type=jnp.float32)
     n_dst = pooled.shape[0]

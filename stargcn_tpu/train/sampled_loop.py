@@ -33,7 +33,8 @@ import optax
 
 from stargcn_tpu.graph.device import BipartiteGraphData
 from stargcn_tpu.graph.sampling import BlockSampler
-from stargcn_tpu.models.sampled import StackedPlan, sampled_forward
+from stargcn_tpu.models.sampled import (StackedPlan, pack_tree,
+                                        sampled_forward, unpack_tree)
 from stargcn_tpu.models.stargcn import STARGCN
 from stargcn_tpu.train.loop import make_metric_loggers, make_optimizer
 
@@ -114,9 +115,16 @@ class SampledTrainer:
         self.lr = self.s.lr
         self._rng_key = jax.random.PRNGKey(self.s.seed)
 
+        # The packed feed: every per-batch array (plan + positions +
+        # noise + targets) ships as ONE int32 + ONE float32 buffer,
+        # unpacked inside the trace (models/sampled.py pack_tree) — a
+        # per-array feed costs a full dispatch round-trip per array on
+        # a remote runtime, which dominated the sampled step wall.
         self._train_step = jax.jit(partial(_sampled_train_step, self),
+                                   static_argnums=(4,),
                                    donate_argnums=(0, 1))
-        self._eval_step = jax.jit(partial(_sampled_eval_step, self))
+        self._eval_step = jax.jit(partial(_sampled_eval_step, self),
+                                  static_argnums=(3,))
 
     # ------------------------------ setup -----------------------------------
 
@@ -234,12 +242,15 @@ class SampledTrainer:
     def train_iteration(self, batch):
         plan, (bu, bi), gt, valid, noise_u, noise_i = batch
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        dplan = plan.as_device()
-        pairs_pos = _pairs_positions(plan, bu, bi)
+        ht = plan.as_host_tree()
+        # Replace the plan's (unpadded, variable-length) pairs_pos with
+        # the padded-batch positions so the packed spec stays constant.
+        ht["pairs_pos"] = _pairs_positions(plan, bu, bi)
+        ibuf, fbuf, spec = pack_tree({
+            "plan": ht, "noise_u": noise_u, "noise_i": noise_i,
+            "gt": gt, "valid": valid})
         self.params, self.opt_state, stats = self._train_step(
-            self.params, self.opt_state, dplan, pairs_pos,
-            jnp.asarray(noise_u), jnp.asarray(noise_i),
-            jnp.asarray(gt), jnp.asarray(valid), step_key)
+            self.params, self.opt_state, ibuf, fbuf, spec, step_key)
         return stats
 
     def evaluate(self, segment: str = "valid"):
@@ -253,8 +264,8 @@ class SampledTrainer:
         graph = it.val_graph if segment == "valid" else it.test_graph
         sampler = self.samplers[segment]
         nu, ni = self.names
-        noise_u = jnp.asarray(it.evaluate_embed_noise_dict[nu])
-        noise_i = jnp.asarray(it.evaluate_embed_noise_dict[ni])
+        noise_u = np.asarray(it.evaluate_embed_noise_dict[nu], np.int32)
+        noise_i = np.asarray(it.evaluate_embed_noise_dict[ni], np.int32)
         B = self.train_batch
         sq_sum = np.zeros(self.model_cfg.nblocks)
         cnt = 0
@@ -270,10 +281,12 @@ class SampledTrainer:
             plan = StackedPlan.build(
                 graph, self.model_cfg, bu[:n], bi[:n], fanout=self.fanout,
                 sampler=sampler)
-            pairs_pos = _pairs_positions(plan, bu, bi)
-            block_sq = self._eval_step(
-                self.params, plan.as_device(), pairs_pos, noise_u,
-                noise_i, jnp.asarray(gt), jnp.asarray(valid))
+            ht = plan.as_host_tree()
+            ht["pairs_pos"] = _pairs_positions(plan, bu, bi)
+            ibuf, fbuf, spec = pack_tree({
+                "plan": ht, "noise_u": noise_u, "noise_i": noise_i,
+                "gt": gt, "valid": valid})
+            block_sq = self._eval_step(self.params, ibuf, fbuf, spec)
             sq_sum += np.asarray(block_sq)
             cnt += n
         return np.sqrt(sq_sum / max(cnt, 1))
@@ -455,8 +468,8 @@ class SampledTrainer:
 
 def _pairs_positions(plan, bu, bi):
     """Positions of the (padded) batch pairs in each block's top
-    frontier, as device arrays (padded slots resolve to position 0 and
-    are masked by ``valid``)."""
+    frontier, as host numpy arrays — they ship inside the packed feed
+    (padded slots resolve to position 0 and are masked by ``valid``)."""
     out = []
     for b, chain in enumerate(plan.chains):
         top = chain.frontiers[-1]
@@ -466,10 +479,10 @@ def _pairs_positions(plan, bu, bi):
             pmap = np.zeros(size + 1, np.int32)
             ok = arr >= 0
             pmap[arr[ok]] = np.nonzero(ok)[0]
-            return pmap[np.minimum(ids, size)]
+            return pmap[np.minimum(ids, size)].astype(np.int32)
 
-        out.append({"user": jnp.asarray(pos_of(bu, top["user"])),
-                    "item": jnp.asarray(pos_of(bi, top["item"]))})
+        out.append({"user": pos_of(bu, top["user"]),
+                    "item": pos_of(bi, top["item"])})
     return out
 
 
@@ -483,8 +496,12 @@ def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
                            dropout_rng=rng)
 
 
-def _sampled_train_step(trainer, params, opt_state, dplan, pairs_pos,
-                        noise_u, noise_i, gt_ratings, pairs_valid, rng):
+def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
+    feed = unpack_tree(ibuf, fbuf, spec)
+    dplan = feed["plan"]
+    pairs_pos = dplan["pairs_pos"]
+    noise_u, noise_i = feed["noise_u"], feed["noise_i"]
+    gt_ratings, pairs_valid = feed["gt"], feed["valid"]
     cfg = trainer.model_cfg
     s = trainer.s
     mean, std = trainer.rating_mean, trainer.rating_std
@@ -526,8 +543,12 @@ def _sampled_train_step(trainer, params, opt_state, dplan, pairs_pos,
     return params, opt_state, stats
 
 
-def _sampled_eval_step(trainer, params, dplan, pairs_pos, noise_u,
-                       noise_i, gt_ratings, valid):
+def _sampled_eval_step(trainer, params, ibuf, fbuf, spec):
+    feed = unpack_tree(ibuf, fbuf, spec)
+    dplan = feed["plan"]
+    pairs_pos = dplan["pairs_pos"]
+    noise_u, noise_i = feed["noise_u"], feed["noise_i"]
+    gt_ratings, valid = feed["gt"], feed["valid"]
     out = _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u,
                            noise_i, train=False)
     denorm = out["pred_ratings"] * trainer.rating_std + trainer.rating_mean
