@@ -143,7 +143,12 @@ def bench_ml100k_devsampler():
     cfgm = trainer.model_cfg
     E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
     edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
-    K = 10
+    # 50 steps fused per dispatch (TRAIN.SCAN_STEPS=50, a first-class
+    # config; bit-identical to single stepping): with on-device batch
+    # sampling nothing couples the host to the step cadence, so the
+    # steady state amortises dispatch across the whole scan window
+    # (measured 2x over K=10 through this environment's TPU relay).
+    K = 50
 
     for _ in range(3):
         stats = trainer.train_chunk_dev(K)
@@ -256,12 +261,13 @@ def bench_ml10m_ell(steps=6, scan=3, backend="ell"):
             "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
 
 
-def bench_ml10m_sampled(iters=8):
+def bench_ml10m_sampled(iters=16):
     """Sampled mini-batch mode on the ML-10M graph (fanout 8), serial
     plan-build + step (``SampledTrainer.fit(prefetch=False)``, the
-    default).  Measured on this 4-core host driving the remote TPU:
-    a prefetch thread starves the dispatch path (2.0-19 s/step vs
-    0.32 s serial), so overlap is opt-in for many-core hosts only."""
+    default).  The whole per-batch feed ships as two packed buffers
+    (models/sampled.py pack_tree — 88-97 ms/step measured vs 311 ms
+    for the per-array feed).  A prefetch thread starves the dispatch
+    path on this 4-core host, so overlap stays opt-in."""
     import numpy as np
 
     from stargcn_tpu.train import build_model_config
