@@ -213,7 +213,7 @@ def _ml10m_cfg():
     return cfg
 
 
-def bench_ml10m_ell(steps=6, scan=3, backend="ell"):
+def bench_ml10m_ell(steps=10, scan=5, backend="ell"):
     """Full-graph ML-10M training steps through a big-graph backend
     ('ell' = chunked-ELL gather path, 'bitdense' = bit-packed dense
     Pallas MXU path)."""
