@@ -594,12 +594,10 @@ class Trainer:
     def train_chunk_dev(self, k):
         """k fused steps with ON-DEVICE batch sampling
         (TRAIN.DEVICE_SAMPLER): the dispatch carries only k RNG keys —
-        no per-step host arrays at all.  Single-chip path (the sharded
-        trainer keeps the host samplers so DP batch sharding applies).
+        no per-step host arrays at all.  On a mesh, the sampling math
+        replicates (same key everywhere) and the drawn batch is handed
+        to GSPMD with the same DP sharding as the host-fed layout.
         """
-        assert self.shardings is None, (
-            "DEVICE_SAMPLER is a single-chip path; the sharded trainer "
-            "uses the host samplers (DP batch sharding)")
         if self._dev_train_arrays is None:
             it = self.data_iter
             tp = jnp.asarray(np.asarray(it.train_node_pairs, np.int32))
@@ -607,6 +605,10 @@ class Trainer:
             tri = jnp.asarray(np.searchsorted(
                 np.asarray(it.possible_rating_values),
                 np.asarray(it.train_ratings)).astype(np.int32))
+            if self.shardings is not None:
+                # Replicated train-edge arrays; the sampled batch gets a
+                # DP sharding constraint inside the step.
+                tp, tr, tri = self.shardings.place_replicated(tp, tr, tri)
             self._dev_train_arrays = (tp, tr, tri)
         keys = []
         for _ in range(k):
@@ -1104,6 +1106,16 @@ def _device_sample_step_inputs(trainer, tp, tr, tri, key):
                       trainer._dev_pmask[0], trainer._dev_pzero[0])
     ni, mi = one_type(k_mi, k_zi, cfg.num_items,
                       trainer._dev_pmask[1], trainer._dev_pzero[1])
+    if trainer.shardings is not None:
+        # Sharded steady state: the sampling math is replicated (same
+        # key on every device -> identical draw), and this constraint
+        # hands the batch to GSPMD DP-sharded exactly like the host-fed
+        # layout (_place_step_inputs: batch axis last over 'data').
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cons = NamedSharding(trainer.mesh, P(None, "data"))
+        ints = jax.lax.with_sharding_constraint(ints, cons)
+        flts = jax.lax.with_sharding_constraint(flts, cons)
     return (ints, flts, jnp.concatenate([nu, ni]),
             jnp.concatenate([mu, mi]), k_drop)
 

@@ -159,3 +159,21 @@ def test_sharded_bitdense_step_matches_single_device():
                     jax.tree.leaves(t_mesh.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_sharded_device_sampler_matches_single_device():
+    """TRAIN.DEVICE_SAMPLER on a mesh: the replicated on-device draw +
+    DP sharding constraint must reproduce the single-device chunk
+    exactly (same RNG key sequence -> same batches -> same params)."""
+    t_mesh = make_trainer(make_mesh(data=2, model=4))
+    t_single = make_trainer(None)
+    for t in (t_mesh, t_single):
+        t.s.device_sampler = True
+    stats_s = jax.device_get(t_single.train_chunk_dev(3))
+    stats_m = jax.device_get(t_mesh.train_chunk_dev(3))
+    np.testing.assert_allclose(stats_s["loss"], stats_m["loss"],
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_single.params),
+                    jax.tree.leaves(t_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
