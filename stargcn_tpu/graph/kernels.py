@@ -420,3 +420,43 @@ def remove_edges_by_indices(ind_ptr, end_points, remove_edge_idx):
     new_ptr = np.zeros(ind_ptr.size, dtype=np.int32)
     np.add.at(new_ptr[1:], row_per_edge[keep], 1)
     return np.cumsum(new_ptr).astype(np.int32), keep
+
+
+def sample_block_ell(ind_ptr, end_points, col_ids, rating_idx,
+                     inv_row, inv_col, sel_rows, frontier_other,
+                     exclude_keys, id_cap, fanout, n_dst, row_is_user,
+                     key_mult):
+    """Fused sampled-plan block builder (native-only fast path for
+    ``BlockSampler.sample``; ``graph_kernels.cpp py_sample_block_ell``).
+
+    One pass per (layer, node-type): fixed-fanout edge sampling, support
+    = ``inv_row[row] * inv_col[col]`` (removal-adjusted degrees fold into
+    the inv vectors), batch-edge exclusion against sorted ``exclude_keys``
+    (REMOVE_RATING), first-occurrence interning of neighbor ids into the
+    next frontier (seeded with ``frontier_other``), and the ELL scatter.
+    The reference keeps this planning in C++ as well
+    (``random_sel_neighbor_and_merge``, ``graph_sampler.cpp:781-875``).
+
+    Returns ``(nbr_pos, weight, rating, merged_ids)`` with the first
+    three shaped ``(n_dst, fanout)``.  Raises ``RuntimeError`` when the
+    native extension is unavailable — callers fall back to the pure
+    NumPy pipeline in ``BlockSampler.sample``.
+    """
+    if _native is None:
+        raise RuntimeError("sample_block_ell needs the native extension; "
+                           "build with `python -m stargcn_tpu.native.build`")
+    nbr_pos, weight, rating, merged = _native.sample_block_ell(
+        np.ascontiguousarray(ind_ptr, np.int32),
+        np.ascontiguousarray(end_points, np.int32),
+        np.ascontiguousarray(col_ids, np.int32),
+        np.ascontiguousarray(rating_idx, np.int32),
+        np.ascontiguousarray(inv_row, np.float32),
+        np.ascontiguousarray(inv_col, np.float32),
+        np.ascontiguousarray(sel_rows, np.int32),
+        np.ascontiguousarray(frontier_other, np.int32),
+        np.ascontiguousarray(exclude_keys, np.int64),
+        int(id_cap), int(fanout), int(n_dst), int(row_is_user),
+        int(key_mult))
+    fan = int(fanout)
+    return (nbr_pos.reshape(-1, fan), weight.reshape(-1, fan),
+            rating.reshape(-1, fan), merged)

@@ -94,6 +94,33 @@ class BlockSampler:
         self._col_deg = {t: np.asarray(self._csr[t].col_degrees, np.int64)
                          for t in ("user", "item")}
         self._num_items_global = self._csr["user"].shape[1]
+        # Fused-native path precomputes: dense intern-map capacity per
+        # neighbor id space, and the base (no-removal) support factors.
+        self._col_id_cap = {
+            t: int(self._csr[t].col_ids.max(initial=0)) + 1
+            for t in ("user", "item")}
+        self._inv_base = self._inv_factors(None)
+
+    def _inv_factors(self, removal_counts):
+        """Per-node support factors so the per-edge GCN support is
+        ``inv_row[row] * inv_col[col]`` — equal to ``get_support``'s
+        1/sqrt(d_row*d_col) (symm) or 1/d_row, with REMOVE_RATING's
+        adjusted degrees folded in when ``removal_counts`` is given."""
+        inv = {}
+        for t, other in (("user", "item"), ("item", "user")):
+            dr = self._row_deg[t].astype(np.float64)
+            dc = self._col_deg[t].astype(np.float64)
+            if removal_counts is not None:
+                dr = dr - removal_counts[t]
+                dc = dc - removal_counts[other]
+            if self.symm:
+                ir = np.where(dr > 0, 1.0 / np.sqrt(np.maximum(dr, 1)), 0.0)
+                ic = np.where(dc > 0, 1.0 / np.sqrt(np.maximum(dc, 1)), 0.0)
+            else:
+                ir = np.where(dr > 0, 1.0 / np.maximum(dr, 1), 0.0)
+                ic = np.ones_like(dc)
+            inv[t] = (ir.astype(np.float32), ic.astype(np.float32))
+        return inv
 
     def removal_args(self, batch_user_ids, batch_item_ids):
         """Precompute ``(exclude_keys, removal_counts)`` for
@@ -124,9 +151,11 @@ class BlockSampler:
         degrees."""
         frontier = {"user": np.asarray(target_user_ids, np.int32),
                     "item": np.asarray(target_item_ids, np.int32)}
-        target_pos = {
-            "user": np.arange(frontier["user"].size, dtype=np.int32),
-            "item": np.arange(frontier["item"].size, dtype=np.int32)}
+        if self.fanout > 0 and K.has_native() and hasattr(
+                K.native_module(), "sample_block_ell"):
+            return self._sample_native(frontier, target_user_ids,
+                                       target_item_ids, exclude_keys,
+                                       removal_counts)
         levels = [frontier]
         raw_blocks = []
         for _ in range(self.num_layers):
@@ -189,24 +218,7 @@ class BlockSampler:
         # Bottom-up: levels reversed so level 0 = deepest frontier.
         levels = levels[::-1]
         raw_blocks = raw_blocks[::-1]
-        frontiers_padded = []
-        for lvl in levels:
-            padded = {}
-            for t in ("user", "item"):
-                ids = lvl[t]
-                if self.frontier_caps is not None:
-                    pad = self.frontier_caps[t]
-                    if ids.size > pad:
-                        raise ValueError(
-                            f"frontier for {t!r} has {ids.size} nodes, "
-                            f"cap is {pad}; raise frontier_caps or lower "
-                            "the fanout/batch")
-                else:
-                    pad = _pad_to(ids.size, self.node_pad)
-                arr = np.full(pad, -1, np.int32)
-                arr[:ids.size] = ids
-                padded[t] = arr
-            frontiers_padded.append(padded)
+        frontiers_padded = self._pad_frontiers(levels)
 
         blocks_out = []
         for li, blocks in enumerate(raw_blocks):
@@ -244,8 +256,40 @@ class BlockSampler:
                                          num_dst_real=dst_ids.size)
             blocks_out.append(lvl_blocks)
 
-        # target positions in the TOP (last) frontier — vectorised (the
-        # targets ARE the top frontier's leading ids by construction)
+        tpos = self._target_positions(levels[-1], target_user_ids,
+                                      target_item_ids)
+        return SampledBlocks(frontiers=frontiers_padded, blocks=blocks_out,
+                             target_pos=tpos)
+
+    # ------------------- shared finalisation helpers -------------------
+
+    def _pad_frontiers(self, levels):
+        """Pad each level's id arrays with -1 to the frontier caps (or
+        the next ``node_pad`` multiple); raises when a cap is exceeded."""
+        frontiers_padded = []
+        for lvl in levels:
+            padded = {}
+            for t in ("user", "item"):
+                ids = lvl[t]
+                if self.frontier_caps is not None:
+                    pad = self.frontier_caps[t]
+                    if ids.size > pad:
+                        raise ValueError(
+                            f"frontier for {t!r} has {ids.size} nodes, "
+                            f"cap is {pad}; raise frontier_caps or lower "
+                            "the fanout/batch")
+                else:
+                    pad = _pad_to(ids.size, self.node_pad)
+                arr = np.full(pad, -1, np.int32)
+                arr[:ids.size] = ids
+                padded[t] = arr
+            frontiers_padded.append(padded)
+        return frontiers_padded
+
+    def _target_positions(self, top, target_user_ids, target_item_ids):
+        """Positions of the targets in the TOP frontier — vectorised
+        (the targets ARE the top frontier's leading ids by
+        construction)."""
         def _positions(ids_arr, query):
             size = int(max(ids_arr.max(initial=0),
                            query.max(initial=0))) + 1
@@ -253,12 +297,59 @@ class BlockSampler:
             pos[ids_arr] = np.arange(ids_arr.size, dtype=np.int32)
             return pos[query]
 
-        top = levels[-1]
-        tpos = {
+        return {
             "user": _positions(top["user"],
                                np.asarray(target_user_ids, np.int32)),
             "item": _positions(top["item"],
                                np.asarray(target_item_ids, np.int32)),
         }
+
+    def _sample_native(self, frontier, target_user_ids, target_item_ids,
+                       exclude_keys, removal_counts):
+        """Fused-native planning: one ``sample_block_ell`` call per
+        (layer, type) replaces the sample + gather + searchsorted +
+        unique + ELL-scatter NumPy pipeline (``kernels.sample_block_ell``;
+        C++ ``py_sample_block_ell``).  Produces the same plan structure
+        as the NumPy path — cross-checked by
+        ``tests/test_sampled.py::test_native_plan_matches_numpy``."""
+        inv = (self._inv_base if removal_counts is None
+               else self._inv_factors(removal_counts))
+        ex = (np.zeros(0, np.int64) if exclude_keys is None
+              else np.asarray(exclude_keys, np.int64))
+        levels = [frontier]
+        raw_ell = []
+        for _ in range(self.num_layers):
+            cur = levels[-1]
+            new_frontier = {}
+            lvl = {}
+            for t, other in (("user", "item"), ("item", "user")):
+                csr = self._csr[t]
+                sel = csr.row_id_to_ind(cur[t]).astype(np.int32)
+                if self.frontier_caps is not None:
+                    n_dst = self.frontier_caps[t]
+                    if sel.size > n_dst:
+                        raise ValueError(
+                            f"frontier for {t!r} has {sel.size} nodes, "
+                            f"cap is {n_dst}; raise frontier_caps or "
+                            "lower the fanout/batch")
+                else:
+                    n_dst = _pad_to(sel.size, self.node_pad)
+                ir, ic = inv[t]
+                nbr_pos, weight, rating, merged = K.sample_block_ell(
+                    csr.ind_ptr, csr.end_points, csr.col_ids,
+                    self._rating_idx[t], ir, ic, sel, cur[other], ex,
+                    self._col_id_cap[t], self.fanout, n_dst,
+                    1 if t == "user" else 0, self._num_items_global)
+                lvl[t] = EllBlock(nbr_pos, weight, rating,
+                                  num_dst_real=sel.size)
+                new_frontier[other] = merged
+            levels.append(new_frontier)
+            raw_ell.append(lvl)
+
+        levels = levels[::-1]
+        blocks_out = raw_ell[::-1]
+        frontiers_padded = self._pad_frontiers(levels)
+        tpos = self._target_positions(levels[-1], target_user_ids,
+                                      target_item_ids)
         return SampledBlocks(frontiers=frontiers_padded, blocks=blocks_out,
                              target_pos=tpos)

@@ -1056,6 +1056,204 @@ PyObject* py_pack_bits(PyObject*, PyObject* args) {
   return p_arr;
 }
 
+// Fused sampled-plan block builder for ``BlockSampler.sample``
+// (graph/sampling.py).  For each selected destination row: sample <=K
+// neighbor edges without replacement (Floyd), gather their global ids /
+// rating levels, compute the (optionally removal-adjusted) GCN support
+// as inv_row[row] * inv_col[col], zero the support of excluded batch
+// edges (binary search in a sorted key set — REMOVE_RATING semantics),
+// intern each neighbor id into the growing next-level frontier
+// (first-occurrence order seeded with the current frontier: the
+// contract of unique_inverse(concat(frontier, nbr_ids))), and scatter
+// positions/weights/ratings into fixed-shape ELL rows.  One call
+// replaces the sample + gather + searchsorted + unique_inverse +
+// ELL-scatter numpy pipeline that was the sampled path's critical path
+// after the packed device feed (BASELINE.md round-2 notes).  The
+// reference keeps this planning in C++ too: gen_plan's heavy lifting is
+// random_sel_neighbor_and_merge (graph_sampler.cpp:781-875).
+// Returns (nbr_pos i32[n_dst*K], weight f32[n_dst*K],
+//          rating i32[n_dst*K], merged_ids i32[n_merged]).
+PyObject* py_sample_block_ell(PyObject*, PyObject* args) {
+  PyObject *p_obj, *ep_obj, *cid_obj, *rat_obj, *ir_obj, *ic_obj,
+      *sel_obj, *fr_obj, *ex_obj;
+  long long id_cap, key_mult;
+  int fanout, n_dst, row_is_user;
+  if (!PyArg_ParseTuple(args, "OOOOOOOOOLiiiL", &p_obj, &ep_obj, &cid_obj,
+                        &rat_obj, &ir_obj, &ic_obj, &sel_obj, &fr_obj,
+                        &ex_obj, &id_cap, &fanout, &n_dst, &row_is_user,
+                        &key_mult))
+    return nullptr;
+  I32View p, ep, cid, rat, sel, fr;
+  F32View ir, ic;
+  if (!as_i32(p_obj, &p)) return nullptr;
+  if (!as_i32(ep_obj, &ep)) { Py_DECREF(p.arr); return nullptr; }
+  if (!as_i32(cid_obj, &cid)) {
+    Py_DECREF(p.arr); Py_DECREF(ep.arr); return nullptr;
+  }
+  if (!as_i32(rat_obj, &rat)) {
+    Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(cid.arr); return nullptr;
+  }
+  auto release4 = [&]() {
+    Py_DECREF(p.arr); Py_DECREF(ep.arr); Py_DECREF(cid.arr);
+    Py_DECREF(rat.arr);
+  };
+  if (!as_f32(ir_obj, &ir)) { release4(); return nullptr; }
+  if (!as_f32(ic_obj, &ic)) { release4(); Py_DECREF(ir.arr); return nullptr; }
+  if (!as_i32(sel_obj, &sel)) {
+    release4(); Py_DECREF(ir.arr); Py_DECREF(ic.arr); return nullptr;
+  }
+  if (!as_i32(fr_obj, &fr)) {
+    release4(); Py_DECREF(ir.arr); Py_DECREF(ic.arr); Py_DECREF(sel.arr);
+    return nullptr;
+  }
+  PyArrayObject* ex = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ex_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  auto release_all = [&]() {
+    release4(); Py_DECREF(ir.arr); Py_DECREF(ic.arr); Py_DECREF(sel.arr);
+    Py_DECREF(fr.arr); Py_XDECREF(ex);
+  };
+  if (!ex) { release_all(); return nullptr; }
+  const int64_t* exd = static_cast<const int64_t*>(PyArray_DATA(ex));
+  const npy_intp ex_size = PyArray_SIZE(ex);
+  if (fanout <= 0 || fanout > 4096 || n_dst < sel.size || id_cap <= 0) {
+    release_all();
+    PyErr_SetString(PyExc_ValueError,
+                    "sample_block_ell: fanout must be in (0, 4096] and "
+                    "n_dst >= len(sel_rows)");
+    return nullptr;
+  }
+  const int K = fanout;
+  npy_intp slot_dims[1] = {static_cast<npy_intp>(n_dst) * K};
+  PyObject* pos_arr = PyArray_ZEROS(1, slot_dims, NPY_INT32, 0);
+  PyObject* w_arr = PyArray_ZEROS(1, slot_dims, NPY_FLOAT32, 0);
+  PyObject* rat_arr = PyArray_ZEROS(1, slot_dims, NPY_INT32, 0);
+  if (!pos_arr || !w_arr || !rat_arr) {
+    release_all();
+    Py_XDECREF(pos_arr); Py_XDECREF(w_arr); Py_XDECREF(rat_arr);
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return nullptr;
+  }
+  int32_t* pos_out = static_cast<int32_t*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(pos_arr)));
+  float* w_out = static_cast<float*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(w_arr)));
+  int32_t* rat_out = static_cast<int32_t*>(
+      PyArray_DATA(reinterpret_cast<PyArrayObject*>(rat_arr)));
+  std::vector<int32_t> merged;
+  bool oob = false;
+  {
+    GilScopedRelease nogil;
+    // Phase A (parallel over rows; each row owns its K ELL slots):
+    // sample edges, gather neighbor ids/ratings into the output slots
+    // (gid staged in pos_out), compute supports, zero excluded edges.
+    std::vector<int32_t> n_take(static_cast<size_t>(sel.size), 0);
+#pragma omp parallel num_threads(num_threads_capped())
+    {
+      std::mt19937& eng = engine_for_thread();
+      int32_t picks[4096];
+#pragma omp for schedule(static)
+      for (npy_intp i = 0; i < sel.size; ++i) {
+        const int32_t r = sel.data[i];
+        const int32_t beg = p.data[r], end = p.data[r + 1];
+        const int32_t deg = end - beg;
+        const int32_t take = std::min(deg, K);
+        n_take[i] = take;
+        if (take == deg) {
+          for (int32_t k = 0; k < take; ++k) picks[k] = beg + k;
+        } else if (take <= 32) {
+          // Floyd's uniform sample of `take` distinct edges from
+          // [beg, end).  The swap map holds at most `take` (<= K,
+          // typically 8) entries, so a linear-scan pair array beats a
+          // heap-allocated hash map by an order of magnitude.
+          int32_t map_k[32], map_v[32];
+          int n_map = 0;
+          auto map_get = [&](int32_t key) {
+            for (int m = 0; m < n_map; ++m)
+              if (map_k[m] == key) return map_v[m];
+            return key;
+          };
+          for (int32_t k = 0; k < take; ++k) {
+            std::uniform_int_distribution<int32_t> dist(k, deg - 1);
+            const int32_t v = dist(eng);
+            const int32_t val_v = map_get(v);
+            const int32_t val_k = map_get(k);
+            picks[k] = beg + val_v;
+            int put = -1;
+            for (int m = 0; m < n_map; ++m)
+              if (map_k[m] == v) { put = m; break; }
+            if (put < 0) { put = n_map++; map_k[put] = v; }
+            map_v[put] = val_k;
+          }
+        } else {
+          std::unordered_map<int32_t, int32_t> replace_map;
+          for (int32_t k = 0; k < take; ++k) {
+            std::uniform_int_distribution<int32_t> dist(k, deg - 1);
+            const int32_t v = dist(eng);
+            auto it_v = replace_map.find(v);
+            const int32_t val_v =
+                (it_v == replace_map.end()) ? v : it_v->second;
+            auto it_k = replace_map.find(k);
+            const int32_t val_k =
+                (it_k == replace_map.end()) ? k : it_k->second;
+            picks[k] = beg + val_v;
+            replace_map[v] = val_k;
+          }
+        }
+        const float inv_r = ir.data[r];
+        for (int32_t k = 0; k < take; ++k) {
+          const int32_t j = picks[k];
+          const int32_t c = ep.data[j];
+          float w = inv_r * ic.data[c];
+          if (ex_size) {
+            const int64_t key =
+                row_is_user
+                    ? static_cast<int64_t>(r) * key_mult + c
+                    : static_cast<int64_t>(c) * key_mult + r;
+            if (std::binary_search(exd, exd + ex_size, key)) w = 0.0f;
+          }
+          const npy_intp s = static_cast<npy_intp>(i) * K + k;
+          pos_out[s] = cid.data[c];  // staged gid; interned in phase B
+          w_out[s] = w;
+          rat_out[s] = rat.data[j];
+        }
+      }
+    }
+
+    // Phase B (sequential): first-occurrence intern of the staged gids
+    // into the next frontier, seeded with the current one — the
+    // contract of unique_inverse(concat(frontier, nbr_ids)).
+    merged.reserve(static_cast<size_t>(fr.size) +
+                   static_cast<size_t>(sel.size) * K);
+    std::vector<int32_t> pos_map(static_cast<size_t>(id_cap), -1);
+    auto intern = [&](int32_t gid) -> int32_t {
+      if (gid < 0 || gid >= id_cap) { oob = true; return 0; }
+      int32_t q = pos_map[gid];
+      if (q < 0) {
+        q = static_cast<int32_t>(merged.size());
+        pos_map[gid] = q;
+        merged.push_back(gid);
+      }
+      return q;
+    };
+    for (npy_intp i = 0; i < fr.size; ++i) intern(fr.data[i]);
+    for (npy_intp i = 0; i < sel.size && !oob; ++i) {
+      const int32_t take = n_take[i];
+      for (int32_t k = 0; k < take; ++k) {
+        const npy_intp s = static_cast<npy_intp>(i) * K + k;
+        pos_out[s] = intern(pos_out[s]);
+      }
+    }
+  }
+  release_all();
+  if (oob) {
+    Py_DECREF(pos_arr); Py_DECREF(w_arr); Py_DECREF(rat_arr);
+    PyErr_SetString(PyExc_ValueError,
+                    "sample_block_ell: node id out of range of id_cap");
+    return nullptr;
+  }
+  return pack_steal({pos_arr, w_arr, rat_arr, make_i32(merged)});
+}
+
 PyMethodDef kMethods[] = {
     {"random_walk", py_random_walk, METH_VARARGS,
      "KDD'06 random-walk subgraph sampling -> (src, dst) edges."},
@@ -1090,6 +1288,8 @@ PyMethodDef kMethods[] = {
      "Pack (masked) COO edges into width-K chunked-ELL virtual rows."},
     {"pack_bits", py_pack_bits, METH_VARARGS,
      "Bit-pack a (masked) multi-link adjacency, 8 dst planes per byte."},
+    {"sample_block_ell", py_sample_block_ell, METH_VARARGS,
+     "Fused sampled-plan block: sample+support+exclude+merge+ELL."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_graph_kernels",

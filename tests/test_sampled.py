@@ -240,3 +240,53 @@ def test_sampled_pallas_backend_matches(setup):
         pk.ell_spmm = pk_ell
     np.testing.assert_allclose(out_p["pred_ratings"],
                                out_x["pred_ratings"], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("remove", [False, True])
+def test_native_plan_matches_numpy(setup, remove, monkeypatch):
+    """The fused native planner (``kernels.sample_block_ell``) must
+    produce the exact plan the NumPy pipeline produces.  A fanout larger
+    than every degree removes sampling randomness, so the two paths are
+    bit-comparable — frontiers, ELL blocks, supports (removal-adjusted
+    when REMOVE_RATING is on), exclusion zeros, and target positions."""
+    from stargcn_tpu.graph import kernels as K
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    if not K.has_native():
+        pytest.skip("native extension not built")
+    fanout = int(max(np.diff(csr.ind_ptr).max(),
+                     np.diff(g["movie", "user"].ind_ptr).max()))
+    caps = {"user": 64, "item": 64}
+
+    def build(native):
+        sampler = BlockSampler(g, num_layers=len(cfg.agg_units),
+                               fanout=fanout, symm=cfg.agg_norm_symm,
+                               frontier_caps=caps)
+        if not native:
+            monkeypatch.setattr(K, "has_native", lambda: False)
+        kw = dict(exclude_pairs=(pu, pi)) if remove else {}
+        plan = StackedPlan.build(g, cfg, pu, pi, fanout=fanout,
+                                 sampler=sampler, **kw)
+        monkeypatch.undo()
+        return plan
+
+    a, b = build(native=True), build(native=False)
+    for ca, cb in zip(a.chains, b.chains):
+        for fa, fb in zip(ca.frontiers, cb.frontiers):
+            for t in ("user", "item"):
+                np.testing.assert_array_equal(fa[t], fb[t])
+        for la, lb in zip(ca.blocks, cb.blocks):
+            for t in ("user", "item"):
+                assert la[t].num_dst_real == lb[t].num_dst_real
+                np.testing.assert_array_equal(la[t].nbr_pos, lb[t].nbr_pos)
+                np.testing.assert_array_equal(la[t].rating, lb[t].rating)
+                np.testing.assert_allclose(la[t].weight, lb[t].weight,
+                                           rtol=1e-6, atol=1e-7)
+        for t in ("user", "item"):
+            np.testing.assert_array_equal(ca.target_pos[t],
+                                          cb.target_pos[t])
+    if remove:
+        # the batch's own edges must carry zero support in BOTH paths
+        total_w = sum(float(blk[t].weight.sum())
+                      for blk in a.chains[-1].blocks for t in ("user", "item"))
+        assert total_w > 0
