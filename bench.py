@@ -266,8 +266,10 @@ def bench_ml10m_sampled(iters=16):
     plan-build + step (``SampledTrainer.fit(prefetch=False)``, the
     default).  The whole per-batch feed ships as two packed buffers
     (models/sampled.py pack_tree — 88-97 ms/step measured vs 311 ms
-    for the per-array feed).  A prefetch thread starves the dispatch
-    path on this 4-core host, so overlap stays opt-in."""
+    for the per-array feed); the fused native planner then halves it
+    again (plan 25 ms + step 18 ms ~ 43 ms/step synced, BASELINE.md).
+    A prefetch thread starves the dispatch path on this 4-core host,
+    so overlap stays opt-in."""
     import numpy as np
 
     from stargcn_tpu.train import build_model_config

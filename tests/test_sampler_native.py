@@ -190,3 +190,64 @@ def test_concurrent_sampling_thread_safety():
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+@pytest.mark.skipif(not K.has_native(), reason="native extension not built")
+@pytest.mark.parametrize("deg,fanout", [(20, 8), (100, 40)])
+def test_sample_block_ell_floyd_path(deg, fanout):
+    """The fused planner's stochastic branch (fanout < degree) — which
+    the bit-equal plan cross-check never reaches — must sample DISTINCT
+    real neighbors with (near-)uniform marginals.  (20, 8) hits the
+    linear-scan swap map, (100, 40) the hash-map branch
+    (``graph_kernels.cpp py_sample_block_ell`` phase A)."""
+    ptr = np.array([0, deg], np.int32)
+    ep = np.arange(deg, dtype=np.int32)
+    col_ids = (100 + np.arange(deg)).astype(np.int32)
+    rating = (np.arange(deg) % 5).astype(np.int32)
+    inv_row = np.array([0.5], np.float32)
+    inv_col = np.linspace(0.1, 1.0, deg).astype(np.float32)
+    gid_to_local = {int(g): i for i, g in enumerate(col_ids)}
+    K.set_seed(7)
+    counts = np.zeros(deg, np.int64)
+    trials = 600
+    for _ in range(trials):
+        pos, w, r, merged = K.sample_block_ell(
+            ptr, ep, col_ids, rating, inv_row, inv_col,
+            np.zeros(1, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.int64), int(col_ids.max()) + 1,
+            fanout, 1, 1, 10**6)
+        pos, w, r = pos[0], w[0], r[0]
+        # every slot filled (deg > fanout), no duplicate neighbors
+        assert np.unique(pos).size == fanout
+        gids = merged[pos]
+        locs = np.array([gid_to_local[int(g)] for g in gids])
+        counts[locs] += 1
+        # support and rating must be the picked edge's, not garbage
+        np.testing.assert_allclose(w, 0.5 * inv_col[locs], rtol=1e-6)
+        np.testing.assert_array_equal(r, rating[locs])
+    # uniform marginal: each neighbor expected in fanout/deg of trials
+    freq = counts / trials
+    expect = fanout / deg
+    assert np.all(np.abs(freq - expect) < 0.1), freq
+
+
+@pytest.mark.skipif(not K.has_native(), reason="native extension not built")
+def test_sample_block_ell_frontier_seeding():
+    """Neighbor ids already in the carried frontier must reuse the
+    frontier position (first-occurrence intern contract of
+    ``unique_inverse(concat(frontier, nbr_ids))``)."""
+    ptr = np.array([0, 3], np.int32)
+    ep = np.array([0, 1, 2], np.int32)
+    col_ids = np.array([100, 200, 300], np.int32)
+    rating = np.zeros(3, np.int32)
+    inv = np.ones(3, np.float32)
+    frontier = np.array([200, 42], np.int32)
+    pos, w, r, merged = K.sample_block_ell(
+        ptr, ep, col_ids, rating, np.ones(1, np.float32), inv,
+        np.zeros(1, np.int32), frontier, np.zeros(0, np.int64),
+        301, 3, 1, 1, 10**6)
+    np.testing.assert_array_equal(merged[:2], frontier)
+    assert set(merged.tolist()) == {200, 42, 100, 300}
+    # the edge to gid 200 reuses frontier slot 0 (200 is frontier[0]);
+    # the new gids 100/300 intern after the 2-element frontier
+    np.testing.assert_array_equal(pos[0], [2, 0, 3])
