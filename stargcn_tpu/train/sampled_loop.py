@@ -125,6 +125,8 @@ class SampledTrainer:
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(partial(_sampled_eval_step, self),
                                   static_argnums=(3,))
+        self._chunk_step = None  # per-k jit cache (train_chunk)
+        self._chunk_k = 0
 
     # ------------------------------ setup -----------------------------------
 
@@ -239,18 +241,49 @@ class SampledTrainer:
 
     # ------------------------------ driving ----------------------------------
 
-    def train_iteration(self, batch):
+    def _pack_batch(self, batch):
         plan, (bu, bi), gt, valid, noise_u, noise_i = batch
-        self._rng_key, step_key = jax.random.split(self._rng_key)
         ht = plan.as_host_tree()
         # Replace the plan's (unpadded, variable-length) pairs_pos with
         # the padded-batch positions so the packed spec stays constant.
         ht["pairs_pos"] = _pairs_positions(plan, bu, bi)
-        ibuf, fbuf, spec = pack_tree({
+        return pack_tree({
             "plan": ht, "noise_u": noise_u, "noise_i": noise_i,
             "gt": gt, "valid": valid})
+
+    def train_iteration(self, batch):
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        ibuf, fbuf, spec = self._pack_batch(batch)
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state, ibuf, fbuf, spec, step_key)
+        return stats
+
+    def train_chunk(self, batches):
+        """k fused sampled steps in ONE device dispatch (``lax.scan``
+        over the stacked packed-feed buffers).  Numerically identical
+        to k ``train_iteration`` calls (same RNG key sequence); stats
+        come back stacked along a leading k axis.  The full-graph
+        ``Trainer.train_chunk`` is the same design (``train/loop.py``)."""
+        k = len(batches)
+        packed = [self._pack_batch(b) for b in batches]
+        spec = packed[0][2]
+        if any(p[2] != spec for p in packed[1:]):
+            raise ValueError("train_chunk needs a constant packed spec "
+                             "across the chunk (fixed caps/batch)")
+        ibufs = np.stack([p[0] for p in packed])
+        fbufs = np.stack([p[1] for p in packed])
+        keys = []
+        for _ in range(k):
+            self._rng_key, sk = jax.random.split(self._rng_key)
+            keys.append(sk)
+        if self._chunk_step is None or self._chunk_k != k:
+            self._chunk_k = k
+            self._chunk_step = jax.jit(partial(_sampled_train_chunk, self),
+                                       static_argnums=(4,),
+                                       donate_argnums=(0, 1))
+        self.params, self.opt_state, stats = self._chunk_step(
+            self.params, self.opt_state, ibufs, fbufs, spec,
+            jnp.stack(keys))
         return stats
 
     def evaluate(self, segment: str = "valid"):
@@ -348,21 +381,44 @@ class SampledTrainer:
             def next_batch():
                 return self._make_batch(rating_sampler, recon_sampler)
 
+        # Steps fused per dispatch via train_chunk when the logging/eval
+        # cadence allows (numerically identical — same RNG sequence;
+        # mirrors the full-graph Trainer.fit scan fusion).
+        k = s.scan_steps if (s.scan_steps > 1
+                             and s.log_interval % s.scan_steps == 0
+                             and s.valid_interval % s.scan_steps == 0
+                             and max_iter >= s.scan_steps) else 1
         try:
-            for iter_idx in range(1, max_iter + 1):
-                stats = self.train_iteration(next_batch())
+            iter_idx = 0
+            while iter_idx < max_iter:
+                if k == 1:
+                    stats = self.train_iteration(next_batch())
+                else:
+                    stats = self.train_chunk(
+                        [next_batch() for _ in range(k)])
+                iter_idx += k
                 pending.append(stats)
-                pending_cnt += self.train_batch
+                pending_cnt += self.train_batch * k
 
                 logging_str = ""
                 if iter_idx % s.log_interval == 0:
+                    # chunked stats carry a leading k axis; reshape makes
+                    # the reduction uniform across k == 1 and k > 1
                     fetched = jax.device_get(pending)
-                    sq = sum(np.asarray(f["sq_err"]) for f in fetched)
-                    rl = sum(np.asarray(f["rating_loss"]) for f in fetched)
-                    cl = sum(np.asarray(f["recon_loss"]) for f in fetched)
-                    gn = sum(float(f["gnorm"]) for f in fetched)
-                    last_loss = float(fetched[-1]["loss"])
-                    n_batches = len(fetched)
+                    sq = sum(np.asarray(f["sq_err"]).reshape(-1, nb).sum(0)
+                             for f in fetched)
+                    rl = sum(np.asarray(
+                        f["rating_loss"]).reshape(-1, nb).sum(0)
+                        for f in fetched)
+                    cl = sum(np.asarray(
+                        f["recon_loss"]).reshape(-1, nb).sum(0)
+                        for f in fetched)
+                    gn = sum(float(np.asarray(f["gnorm"]).sum())
+                             for f in fetched)
+                    last_loss = float(
+                        np.asarray(fetched[-1]["loss"]).reshape(-1)[-1])
+                    n_batches = sum(int(np.asarray(f["gnorm"]).size)
+                                    for f in fetched)
                     pending, n_pairs = [], pending_cnt
                     pending_cnt = 0
                     if not np.isfinite(last_loss):
@@ -540,6 +596,19 @@ def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
     params = optax.apply_updates(params, updates)
     stats = {"loss": loss, "gnorm": gnorm, "rating_loss": rating_loss,
              "recon_loss": recon_loss, "sq_err": sq_err}
+    return params, opt_state, stats
+
+
+def _sampled_train_chunk(trainer, params, opt_state, ibufs, fbufs, spec,
+                         keys):
+    def step(carry, xs):
+        p, o = carry
+        ib, fb, rng = xs
+        p, o, stats = _sampled_train_step(trainer, p, o, ib, fb, spec, rng)
+        return (p, o), stats
+
+    (params, opt_state), stats = jax.lax.scan(
+        step, (params, opt_state), (ibufs, fbufs, keys))
     return params, opt_state, stats
 
 

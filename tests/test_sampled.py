@@ -290,3 +290,76 @@ def test_native_plan_matches_numpy(setup, remove, monkeypatch):
         total_w = sum(float(blk[t].weight.sum())
                       for blk in a.chains[-1].blocks for t in ("user", "item"))
         assert total_w > 0
+
+
+def test_sampled_train_chunk_matches_single_steps(setup):
+    """k scan-fused sampled steps (``train_chunk``) must match k
+    ``train_iteration`` calls: same RNG key sequence, same final
+    params, same per-step stats (stacked along a leading k axis)."""
+    from stargcn_tpu.data.iterators import DataIterator
+    from stargcn_tpu.train.loop import TrainSettings
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    pairs = csr.node_pair_ids
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(pairs.shape[1])
+    it = DataIterator(g, "user", "movie",
+                      test_node_pairs=pairs[:, perm[:40]],
+                      valid_node_pairs=pairs[:, perm[40:80]],
+                      embed_P_mask=0.2, seed=0,
+                      embed_p_zero=1.0, embed_p_self=0.0)
+    s = TrainSettings(rating_batch_size=24, recon_batch_size=8,
+                      max_iter=6, lr=1e-2, seed=3, remove_rating=True)
+    trainer = SampledTrainer(cfg, it, s, fanout=4)
+    rs = it.rating_sampler(batch_size=trainer.train_batch,
+                           segment="train")
+    recon = it.recon_nodes_sampler(batch_size=8)
+    batches = [trainer._make_batch(rs, recon) for _ in range(3)]
+
+    snap = jax.device_get((trainer.params, trainer.opt_state))
+    key0 = trainer._rng_key
+
+    single = [jax.device_get(trainer.train_iteration(b)) for b in batches]
+    params_single = jax.device_get(trainer.params)
+
+    trainer.params, trainer.opt_state = jax.tree.map(jnp.asarray, snap)
+    trainer._rng_key = key0
+    chunk = jax.device_get(trainer.train_chunk(batches))
+    params_chunk = jax.device_get(trainer.params)
+
+    for i, st in enumerate(single):
+        for name in ("loss", "gnorm", "sq_err", "rating_loss",
+                     "recon_loss"):
+            np.testing.assert_allclose(
+                np.asarray(chunk[name])[i], np.asarray(st[name]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{name}[{i}]")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-5, atol=1e-6), params_single, params_chunk)
+
+
+def test_sampled_fit_chunked(setup, tmp_path):
+    """``SampledTrainer.fit`` with TRAIN.SCAN_STEPS > 1: the chunked
+    schedule runs end-to-end (logging, evals, checkpoints) and trains."""
+    from stargcn_tpu.data.iterators import DataIterator
+    from stargcn_tpu.train.loop import TrainSettings
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    g, csr, gd, cfg, model, params, pu, pi, nu, ni = setup
+    pairs = csr.node_pair_ids
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(pairs.shape[1])
+    it = DataIterator(g, "user", "movie",
+                      test_node_pairs=pairs[:, perm[:40]],
+                      valid_node_pairs=pairs[:, perm[40:80]],
+                      embed_P_mask=0.2, seed=0,
+                      embed_p_zero=1.0, embed_p_self=0.0)
+    s = TrainSettings(rating_batch_size=24, recon_batch_size=8,
+                      max_iter=20, log_interval=10, valid_interval=10,
+                      lr=1e-2, seed=3, remove_rating=True, scan_steps=5)
+    trainer = SampledTrainer(cfg, it, s, fanout=4,
+                             save_dir=str(tmp_path))
+    result = trainer.fit(log=lambda *_: None)
+    assert np.isfinite(result["best_valid_rmse"])
+    assert (tmp_path / "train_loss0.csv").exists()
+    assert (tmp_path / "ckpt_last_0.msgpack").exists()
