@@ -143,12 +143,14 @@ def bench_ml100k_devsampler():
     cfgm = trainer.model_cfg
     E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
     edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
-    # 50 steps fused per dispatch (TRAIN.SCAN_STEPS=50, a first-class
+    # 100 steps fused per dispatch (TRAIN.SCAN_STEPS=100, a first-class
     # config; bit-identical to single stepping): with on-device batch
     # sampling nothing couples the host to the step cadence, so the
-    # steady state amortises dispatch across the whole scan window
-    # (measured 2x over K=10 through this environment's TPU relay).
-    K = 50
+    # steady state amortises dispatch across the whole scan window.
+    # Swept K in {10, 50, 100, 200} through this environment's TPU
+    # relay: K=100 is both fastest and lowest-variance (2.3-2.7
+    # ms/step vs 2.0-4.7 at K=50; K=200 hits relay timeouts/jitter).
+    K = 100
 
     for _ in range(3):
         stats = trainer.train_chunk_dev(K)
