@@ -388,11 +388,29 @@ def bench_serving(num_users=70_000, num_items=11_000, mid=64, k=10):
             "catalog": num_items, "mid_units": mid, "k": k}
 
 
+def _ensure_native():
+    """Best-effort build of the C++ host kernels (~10 s with g++): the
+    sampled scenario's plan builder is 4.8x faster native than the NumPy
+    fallback, and a fresh checkout has no compiled .so."""
+    from stargcn_tpu.graph import kernels
+    if kernels.has_native():
+        return
+    try:
+        import importlib
+        import subprocess
+        subprocess.run([sys.executable, "-m", "stargcn_tpu.native.build"],
+                       check=True, capture_output=True, timeout=120)
+        importlib.reload(kernels)
+    except Exception:
+        traceback.print_exc()  # NumPy fallbacks keep every scenario alive
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _ensure_native()
 
     fast = os.environ.get("STARGCN_BENCH_SCOPE") == "fast"
     scenarios = {}
