@@ -263,7 +263,7 @@ def bench_ml10m_ell(steps=10, scan=5, backend="ell"):
             "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
 
 
-def bench_ml10m_sampled(iters=16):
+def bench_ml10m_sampled(iters=8):
     """Sampled mini-batch mode on the ML-10M graph (fanout 8), serial
     plan-build + step (``SampledTrainer.fit(prefetch=False)``, the
     default).  The whole per-batch feed ships as two packed buffers
@@ -290,11 +290,16 @@ def bench_ml10m_sampled(iters=16):
     recon = it.recon_nodes_sampler(batch_size=1024)
     batch = trainer._make_batch(rs, recon)
     trainer.train_iteration(batch)  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        stats = trainer.train_iteration(trainer._make_batch(rs, recon))
-    float(stats["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # median over windows: a single contended relay/host window (this is
+    # a shared 4-core host) otherwise lands straight in the record
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            stats = trainer.train_iteration(trainer._make_batch(rs, recon))
+        float(stats["loss"])
+        windows.append((time.perf_counter() - t0) / iters)
+    dt = _median(windows)
     # edge messages actually aggregated = sampled slots with weight > 0
     plan = batch[0]
     nnz = sum(int(np.asarray(b.weight > 0).sum())
