@@ -106,11 +106,25 @@ class LoadData:
                "ml-10m": "ml-10M100K"}[name]
         self._data_path = os.path.join(root, sub)
         if not os.path.isdir(self._data_path):
-            raise FileNotFoundError(
-                f"MovieLens raw data not found at {self._data_path}. "
-                "This environment cannot download; place the extracted "
-                "GroupLens archive there (ml-100k.zip / ml-1m.zip / "
-                "ml-10m.zip from files.grouplens.org).")
+            # Auto-download on first use, like the reference
+            # (datasets.py:288-298); opt out with STARGCN_AUTO_DOWNLOAD=0.
+            if os.environ.get("STARGCN_AUTO_DOWNLOAD", "1") != "0":
+                from stargcn_tpu.data.download import ensure_movielens
+                try:
+                    self._data_path = ensure_movielens(name, root)
+                except Exception as e:
+                    raise FileNotFoundError(
+                        f"MovieLens raw data not found at {self._data_path} "
+                        f"and downloading failed ({e!r}). Place the "
+                        "extracted GroupLens archive there (ml-100k.zip / "
+                        "ml-1m.zip / ml-10m.zip from files.grouplens.org)."
+                    ) from e
+            else:
+                raise FileNotFoundError(
+                    f"MovieLens raw data not found at {self._data_path} "
+                    "and STARGCN_AUTO_DOWNLOAD=0; place the extracted "
+                    "GroupLens archive there (ml-100k.zip / ml-1m.zip / "
+                    "ml-10m.zip from files.grouplens.org).")
         self._glove_path = glove_path or os.environ.get("STARGCN_GLOVE_PATH")
 
         self.user_info = self._load_raw_user_info()
