@@ -1,14 +1,16 @@
 #!/usr/bin/env bash
 # Reproduce the STAR-GCN paper experiment matrix (IJCAI 2019).
 #
-# This environment has zero egress, so the GroupLens archives cannot be
-# downloaded here; point STARGCN_DATA_ROOT at a directory containing the
-# extracted archives and this script runs all 15 shipped configs and
-# tabulates test RMSE against the paper numbers (BASELINE.md):
+# Point STARGCN_DATA_ROOT at the MovieLens root and this script runs
+# all 15 shipped configs and tabulates test RMSE against the paper
+# numbers (BASELINE.md).  In an egress-present environment the loader
+# auto-downloads + extracts the GroupLens archives into that root on
+# first use (stargcn_tpu/data/download.py); offline, pre-place the
+# extracted archives:
 #
-#   $STARGCN_DATA_ROOT/ml-100k/  (u.user, u.item, u1.base, u1.test, u.data)
-#   $STARGCN_DATA_ROOT/ml-1m/    (users.dat, movies.dat, ratings.dat)
-#   $STARGCN_DATA_ROOT/ml-10m/   (movies.dat, ratings.dat)
+#   $STARGCN_DATA_ROOT/ml-100k/     (u.user, u.item, u1.base, u1.test, u.data)
+#   $STARGCN_DATA_ROOT/ml-1m/       (users.dat, movies.dat, ratings.dat)
+#   $STARGCN_DATA_ROOT/ml-10M100K/  (movies.dat, ratings.dat)
 #
 # Optional: $STARGCN_GLOVE points at glove.840B.300d.txt for real title
 # embeddings (hash-based fallback features are used otherwise).
