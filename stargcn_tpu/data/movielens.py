@@ -72,14 +72,28 @@ def _hashed_title_embedding(title: str, dim: int = 300) -> np.ndarray:
 
 
 def load_glove(path: str) -> dict[str, np.ndarray]:
-    """Load a GloVe-format text file into a token -> vector dict."""
+    """Load a GloVe-format text file into a token -> vector dict.
+
+    The real ``glove.840B.300d.txt`` contains multi-word tokens (e.g.
+    ``. . .``), so the vector is parsed from the RIGHT: the dimension
+    is fixed by the first well-formed line, after which each line's
+    last ``dim`` fields are the vector and everything before them the
+    token.  Lines that still fail to parse are skipped.
+    """
     table = {}
+    dim = None
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
-            parts = line.rstrip().split(" ")
+            parts = line.rstrip("\n").split(" ")
             if len(parts) < 10:
                 continue
-            table[parts[0]] = np.asarray(parts[1:], dtype=np.float32)
+            if dim is None:
+                dim = len(parts) - 1
+            try:
+                vec = np.asarray(parts[-dim:], dtype=np.float32)
+            except ValueError:
+                continue
+            table[" ".join(parts[:-dim])] = vec
     return table
 
 
@@ -383,9 +397,10 @@ class LoadData:
         """[title embedding, (year-1950)/100, genres] (``datasets.py:574-590``)."""
         titles = self.movie_info["title"]
         n = len(titles)
-        emb = np.zeros((n, 300), np.float32)
-        years = np.zeros((n, 1), np.float32)
         glove = load_glove(self._glove_path) if self._glove_path else None
+        dim = (len(next(iter(glove.values()))) if glove else 300)
+        emb = np.zeros((n, dim), np.float32)
+        years = np.zeros((n, 1), np.float32)
         pat = re.compile(r"(.+)\s*\((\d+)\)")
         for i, title in enumerate(titles):
             m = pat.match(title)

@@ -187,3 +187,52 @@ def test_neg_edge_generator(rng):
         # every generated pair is a non-edge
         vals = csr.fetch_edges_by_id(neg)
         np.testing.assert_array_equal(vals, np.zeros(20))
+
+
+class TestGlove:
+    """load_glove + the title-embedding path (reference datasets.py:574-590).
+
+    The real glove.840B.300d.txt contains multi-word tokens, so the
+    fixture includes one to pin the right-anchored parse."""
+
+    DIM = 12
+
+    @pytest.fixture()
+    def glove_file(self, tmp_path):
+        def vec(seed):
+            return " ".join(f"{v:.4f}" for v in
+                            np.random.RandomState(seed).normal(size=self.DIM))
+
+        path = tmp_path / "glove.txt"
+        path.write_text(
+            f"movie {vec(1)}\n"
+            f"the {vec(2)}\n"
+            f". . . {vec(3)}\n"          # multi-word token (real-file case)
+            "shorty 1 2 3\n"             # malformed short line: skipped
+            f"broken x y {vec(4)[8:]}\n"  # non-numeric tail: skipped
+        )
+        return str(path)
+
+    def test_load_glove_right_anchored(self, glove_file):
+        from stargcn_tpu.data.movielens import load_glove
+        table = load_glove(glove_file)
+        assert set(table) == {"movie", "the", ". . ."}
+        assert all(v.shape == (self.DIM,) for v in table.values())
+        exp = np.random.RandomState(3).normal(size=self.DIM)
+        np.testing.assert_allclose(table[". . ."], exp, atol=1e-3)
+
+    def test_title_embeddings_from_glove(self, tiny_ml100k, glove_file):
+        from stargcn_tpu.data.movielens import GENRES_ML_100K, load_glove
+        data = LoadData("ml-100k", root=tiny_ml100k, seed=5,
+                        glove_path=glove_file)
+        feats = data.item_features
+        # [emb(DIM), year, genres] — fixture titles are "Movie N (year)"
+        assert feats.shape[1] == self.DIM + 1 + len(GENRES_ML_100K)
+        table = load_glove(glove_file)
+        # every fixture title tokenizes to ['movie'], all of which are
+        # in the table, so emb == glove['movie'] exactly
+        np.testing.assert_allclose(feats[:, :self.DIM],
+                                   np.tile(table["movie"], (len(feats), 1)),
+                                   rtol=1e-5)
+        years = feats[:, self.DIM]
+        assert np.all((years >= 0.0) & (years <= 0.5))
