@@ -12,8 +12,9 @@
 #   $STARGCN_DATA_ROOT/ml-1m/       (users.dat, movies.dat, ratings.dat)
 #   $STARGCN_DATA_ROOT/ml-10M100K/  (movies.dat, ratings.dat)
 #
-# Optional: $STARGCN_GLOVE points at glove.840B.300d.txt for real title
-# embeddings (hash-based fallback features are used otherwise).
+# Optional: $STARGCN_GLOVE_PATH points at glove.840B.300d.txt for real
+# title embeddings (hash-based fallback features are used otherwise);
+# `python -m stargcn_tpu.data.download glove` pre-fetches it.
 #
 # Usage:
 #   STARGCN_DATA_ROOT=/data ./scripts/reproduce_paper.sh [results_dir]

@@ -96,6 +96,34 @@ def fetch(url: str, dest: str, *, sha1: str | None = None,
     raise last_err if last_err is not None else OSError("no attempts")
 
 
+# The reference pulls these vectors implicitly through
+# ``gluonnlp.embedding.GloVe('glove.840B.300d')`` (datasets.py:31); here
+# the fetch is explicit (it is a 2 GB archive) via ensure_glove / the
+# CLI below, consumed through ``STARGCN_GLOVE_PATH``.
+GLOVE_ARCHIVE = ("glove.840B.300d.zip",
+                 "https://nlp.stanford.edu/data/glove.840B.300d.zip",
+                 "glove.840B.300d.txt")
+
+
+def ensure_glove(root: str, *, retries: int = 5,
+                 backoff_s: float = 1.0) -> str:
+    """Return the path of ``glove.840B.300d.txt`` under ``root``,
+    downloading + extracting the Stanford archive if absent."""
+    zip_name, url, txt_name = GLOVE_ARCHIVE
+    txt_path = os.path.join(root, txt_name)
+    if os.path.isfile(txt_path):
+        return txt_path
+    archive = fetch(url, os.path.join(root, zip_name),
+                    retries=retries, backoff_s=backoff_s)
+    log.info("extracting %s", archive)
+    with zipfile.ZipFile(archive) as zf:
+        zf.extractall(root)
+    if not os.path.isfile(txt_path):
+        raise FileNotFoundError(
+            f"archive {archive} did not contain '{txt_name}'")
+    return txt_path
+
+
 def ensure_movielens(name: str, root: str, *, retries: int = 5,
                      backoff_s: float = 1.0) -> str:
     """Return the extracted dataset directory for ``name`` under
@@ -115,3 +143,28 @@ def ensure_movielens(name: str, root: str, *, retries: int = 5,
             f"archive {archive} did not contain the expected "
             f"'{subdir}/' directory")
     return data_dir
+
+
+def _main(argv=None):
+    """CLI pre-fetch: ``python -m stargcn_tpu.data.download
+    <ml-100k|ml-1m|ml-10m|all|glove> [root]``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("what",
+                   choices=sorted(MOVIELENS_ARCHIVES) + ["all", "glove"])
+    p.add_argument("root", nargs="?",
+                   default=os.environ.get("STARGCN_DATA_ROOT", "datasets"))
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    if args.what == "glove":
+        print(ensure_glove(args.root))
+    else:
+        names = (sorted(MOVIELENS_ARCHIVES) if args.what == "all"
+                 else [args.what])
+        for name in names:
+            print(ensure_movielens(name, args.root))
+
+
+if __name__ == "__main__":
+    _main()

@@ -151,3 +151,28 @@ class TestEnsureMovielens:
         _serve(monkeypatch, buf.getvalue())
         with pytest.raises(FileNotFoundError, match="expected"):
             ensure_movielens("ml-100k", str(tmp_path / "bad"), backoff_s=0.0)
+
+
+class TestGloveAndCLI:
+    def test_ensure_glove(self, tmp_path, monkeypatch):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("glove.840B.300d.txt",
+                        "movie " + " ".join(["0.1"] * 300) + "\n")
+        _serve(monkeypatch, buf.getvalue())
+        from stargcn_tpu.data.download import ensure_glove
+        path = ensure_glove(str(tmp_path), backoff_s=0.0)
+        assert path.endswith("glove.840B.300d.txt")
+        from stargcn_tpu.data.movielens import load_glove
+        assert load_glove(path)["movie"].shape == (300,)
+        # idempotent, no refetch
+        assert ensure_glove(str(tmp_path)) == path
+
+    def test_cli_main(self, tmp_path, monkeypatch, ml100k_zip_bytes,
+                      capsys):
+        _serve(monkeypatch, ml100k_zip_bytes)
+        from stargcn_tpu.data.download import _main
+        _main(["ml-100k", str(tmp_path)])
+        out = capsys.readouterr().out.strip()
+        assert out.endswith("ml-100k")
+        assert os.path.isfile(os.path.join(out, "u1.base"))
