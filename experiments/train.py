@@ -138,12 +138,16 @@ def main():
         # selected by GRAPH_SAMPLER.NUM_NEIGHBORS > 0, STAR-GCN.py:57).
         from stargcn_tpu.train.sampled_loop import SampledTrainer
 
-        assert mesh is None, \
-            "sampled mode is single-chip; drop --mesh or use fanout -1"
+        # Sampled device backend: 'pallas' routes the ELL pooling
+        # through the hand kernels (ops/pallas_kernels.py); anything
+        # else uses the measured XLA formulation.
+        sampled_backend = ("pallas" if cfg.KERNEL.BACKEND == "pallas"
+                          else "xla")
         trainer = SampledTrainer(
             model_cfg, data_iter, TrainSettings.from_cfg(cfg),
             fanout=fanout, save_dir=save_dir, save_id=save_id,
-            name_user=name_user, name_item=name_item)
+            name_user=name_user, name_item=name_item, mesh=mesh,
+            backend=sampled_backend)
     else:
         trainer = Trainer(model_cfg, data_iter,
                           TrainSettings.from_cfg(cfg),

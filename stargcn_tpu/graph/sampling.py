@@ -28,6 +28,21 @@ def _pad_to(n, multiple):
     return max(multiple, -(-n // multiple) * multiple)
 
 
+class FrontierCapError(ValueError):
+    """A sampled frontier exceeded its fixed cap.
+
+    Carries ``needed`` = {node_type: observed frontier size} so a
+    training driver can grow the caps, recompile once, and continue
+    (``SampledTrainer`` does exactly that) instead of dying mid-run.
+    """
+
+    def __init__(self, node_type: str, needed: int, cap: int):
+        super().__init__(
+            f"frontier for {node_type!r} has {needed} nodes, cap is "
+            f"{cap}; raise frontier_caps or lower the fanout/batch")
+        self.needed = {node_type: needed}
+
+
 @dataclasses.dataclass
 class EllBlock:
     """One aggregation step: dst frontier <- src frontier.
@@ -274,10 +289,7 @@ class BlockSampler:
                 if self.frontier_caps is not None:
                     pad = self.frontier_caps[t]
                     if ids.size > pad:
-                        raise ValueError(
-                            f"frontier for {t!r} has {ids.size} nodes, "
-                            f"cap is {pad}; raise frontier_caps or lower "
-                            "the fanout/batch")
+                        raise FrontierCapError(t, ids.size, pad)
                 else:
                     pad = _pad_to(ids.size, self.node_pad)
                 arr = np.full(pad, -1, np.int32)
@@ -328,10 +340,7 @@ class BlockSampler:
                 if self.frontier_caps is not None:
                     n_dst = self.frontier_caps[t]
                     if sel.size > n_dst:
-                        raise ValueError(
-                            f"frontier for {t!r} has {sel.size} nodes, "
-                            f"cap is {n_dst}; raise frontier_caps or "
-                            "lower the fanout/batch")
+                        raise FrontierCapError(t, sel.size, n_dst)
                 else:
                     n_dst = _pad_to(sel.size, self.node_pad)
                 ir, ic = inv[t]

@@ -276,6 +276,29 @@ def _masked_embed_rows(table, ids, noise):
     return rows * keep[:, None].astype(table.dtype)
 
 
+def _fea_proj_rows(params, t, fea, ids, act):
+    """Project raw feature rows for frontier ids through the shared
+    2-layer feature MLP (reference ``STAR-GCN.py:182-191``).  Padded
+    (-1) frontier slots produce zero rows.  Features are NOT
+    noise-masked — parity with the full-graph module
+    (``models/stargcn.py``: only the embedding path goes through
+    ``_masked_embed``)."""
+    rows = jnp.take(fea, jnp.maximum(ids, 0), axis=0)
+    l0 = params[f"fea_map_{t}_l0"]
+    l1 = params[f"fea_map_{t}_l1"]
+    h = act(rows @ l0["kernel"] + l0["bias"])
+    h = h @ l1["kernel"] + l1["bias"]
+    return h * (ids >= 0)[:, None].astype(h.dtype)
+
+
+def _constrain(x, sharding):
+    """``with_sharding_constraint`` when a sharding is given (mesh
+    mode), identity otherwise — lets one forward serve both paths."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def _ell_aggregate(proj, block, accum, use_pallas):
     """Pool per-rating projections over an ELL block.
 
@@ -304,7 +327,7 @@ def _ell_aggregate(proj, block, accum, use_pallas):
 
 def sampled_forward(params, cfg, plan, noise_user, noise_item,
                     backend: str = "xla", *, train: bool = False,
-                    dropout_rng=None):
+                    dropout_rng=None, features=None, row_sharding=None):
     """Bottom-up execution of the stacked plan (``STAR-GCN.py:399-460``).
 
     ``plan`` may be a ``StackedPlan`` (converted on the fly) or the
@@ -312,6 +335,16 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
     placement matches the reference (source features inside each
     aggregator, ``aggregators.py:131``; aggregated features before the
     out-FC, ``layers.py:169``).
+
+    ``features`` = (user_features, item_features) raw feature matrices,
+    required when ``cfg.use_fea_proj`` (reference ``STAR-GCN.py:182-191``:
+    a shared 2-layer MLP projects them; rows are gathered per frontier
+    here instead of projected full-table).
+
+    ``row_sharding`` (mesh mode) constrains every frontier feature
+    matrix to that sharding — P('data', None) row-shards the per-node
+    compute across the data axis while GSPMD supplies the collective
+    pulls from the 'model'-row-sharded embedding tables.
 
     Returns {'pred_ratings': (nblocks, B), 'pred_embed': per block per
     type (n_recon, emb) rows, 'recon_ok': per block per type validity,
@@ -321,8 +354,14 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
         plan = plan.as_device()
     act = get_activation(cfg.activation)
     use_pallas = backend == "pallas"
-    table = {"user": params["embed_user"]["embedding"],
-             "item": params["embed_item"]["embedding"]}
+    if cfg.use_fea_proj and features is None:
+        raise ValueError("cfg.use_fea_proj needs features=(user, item)")
+    fea = ({"user": jnp.asarray(features[0]),
+            "item": jnp.asarray(features[1])}
+           if cfg.use_fea_proj else None)
+    table = ({"user": params["embed_user"]["embedding"],
+              "item": params["embed_item"]["embedding"]}
+             if cfg.use_embed else None)
     noise = {"user": jnp.asarray(noise_user), "item": jnp.asarray(noise_item)}
 
     if train and dropout_rng is None:
@@ -338,18 +377,38 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
 
     nblocks = len(plan["blocks"])
     pred_ratings, pred_embed, recon_ok = [], [], []
-    gt_embed = {
-        t: jnp.take(table[t],
-                    jnp.maximum(plan["recon_ids"][t], 0), axis=0)
-        for t in ("user", "item")}
+    gt_embed = {}
+    if cfg.use_embed:
+        gt_embed = {
+            t: jnp.take(table[t],
+                        jnp.maximum(plan["recon_ids"][t], 0), axis=0)
+            for t in ("user", "item")}
+        if cfg.use_fea_proj and cfg.recon_fea:
+            # gt = concat(embedding, projected features) rows at the
+            # recon ids (full-graph module concatenates full-table).
+            gt_embed = {
+                t: jnp.concatenate(
+                    [gt_embed[t],
+                     _fea_proj_rows(params, t, fea[t],
+                                    plan["recon_ids"][t], act)], axis=-1)
+                for t in ("user", "item")}
     prev_top_feats = None
     for block_id in range(nblocks):
         pidx = 0 if cfg.use_recurrent else block_id
         enc = params[f"enc_b{pidx}"]
         f0 = plan["frontiers"][block_id]
         if block_id == 0:
-            feats = {t: _masked_embed_rows(table[t], f0[t], noise[t])
-                     for t in ("user", "item")}
+            feats = {}
+            for t in ("user", "item"):
+                parts = []
+                if cfg.use_embed:
+                    parts.append(_masked_embed_rows(table[t], f0[t],
+                                                    noise[t]))
+                if cfg.use_fea_proj:
+                    parts.append(_fea_proj_rows(params, t, fea[t],
+                                                f0[t], act))
+                feats[t] = (parts[0] if len(parts) == 1
+                            else jnp.concatenate(parts, axis=-1))
         else:
             cg = plan["cross_gather"][block_id]
             feats = {}
@@ -357,6 +416,15 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                 pos, ok = cg[t]
                 feats[t] = (jnp.take(prev_top_feats[t], pos, axis=0)
                             * ok[:, None])
+                if cfg.use_fea_proj and not cfg.recon_fea:
+                    # next-block input = concat(mapped, fea_proj) —
+                    # full-graph module (models/stargcn.py) /
+                    # reference STAR-GCN.py:449-459 semantics.
+                    feats[t] = jnp.concatenate(
+                        [feats[t],
+                         _fea_proj_rows(params, t, fea[t], f0[t], act)],
+                        axis=-1)
+        feats = {t: _constrain(v, row_sharding) for t, v in feats.items()}
 
         for li, lvl in enumerate(plan["blocks"][block_id]):
             depth = 0 if cfg.gcn_use_recurrent else li
@@ -372,7 +440,7 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                 pooled = dropout(act(pooled))  # agg_act then dropout
                 out_p = layer[f"out_fc_{t}"]
                 h = pooled @ out_p["kernel"] + out_p["bias"]
-                new_feats[t] = act(h)  # out_act
+                new_feats[t] = _constrain(act(h), row_sharding)  # out_act
             feats = new_feats
 
         # rating head
@@ -406,12 +474,14 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
 
 def sampled_loss(params, cfg, plan, noise_user, noise_item, gt_ratings,
                  pairs_valid, rating_mean, rating_std, recon_lambda,
-                 *, train=False, dropout_rng=None, backend="xla"):
+                 *, train=False, dropout_rng=None, backend="xla",
+                 features=None, row_sharding=None):
     """Rating + reconstruction loss on a sampled plan — the sampled-mode
     twin of the full-graph loss (``STAR-GCN.py:610-628``)."""
     out = sampled_forward(params, cfg, plan, noise_user, noise_item,
                           backend=backend, train=train,
-                          dropout_rng=dropout_rng)
+                          dropout_rng=dropout_rng, features=features,
+                          row_sharding=row_sharding)
     target = (gt_ratings - rating_mean) / rating_std
     n_valid = jnp.maximum(pairs_valid.sum(), 1.0)
     sq = (out["pred_ratings"] - target[None, :]) ** 2

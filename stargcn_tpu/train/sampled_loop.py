@@ -54,12 +54,14 @@ class SampledTrainer:
     def __init__(self, model_cfg, data_iter, settings, *, fanout,
                  save_dir: Optional[str] = None, save_id: int = 0,
                  frontier_caps=None, name_user="user", name_item="movie",
-                 backend: str = "xla", cap_slack: float = 1.6):
+                 backend: str = "xla", cap_slack: float = 1.6,
+                 mesh=None):
         assert fanout > 0, "SampledTrainer needs a positive fanout"
-        if model_cfg.use_fea_proj:
+        if model_cfg.use_fea_proj and model_cfg.use_dae \
+                and not model_cfg.use_embed:
             raise NotImplementedError(
-                "sampled mode covers the shipped configs, none of which "
-                "set MODEL.USE_FEA_PROJ (all 15 use embeddings only)")
+                "sampled DAE reconstruction needs embedding targets "
+                "(USE_EMBED); feature-only reconstruction is not wired")
         self.model_cfg = model_cfg
         self.data_iter = data_iter
         self.s = settings
@@ -68,6 +70,35 @@ class SampledTrainer:
         self.save_id = save_id
         self.backend = backend
         self.names = (name_user, name_item)
+        self._fea = None
+        if model_cfg.use_fea_proj:
+            # Raw feature matrices for the shared projection MLP
+            # (reference STAR-GCN.py:182-191); rows are gathered per
+            # frontier inside the step.
+            g = data_iter.all_graph
+            self._fea = (np.asarray(g.features[name_user], np.float32),
+                         np.asarray(g.features[name_item], np.float32))
+
+        # ---- mesh mode: DP over frontier/batch rows ('data' axis) +
+        # row-sharded embedding tables ('model' axis).  The packed feed
+        # buffers shard over 'data' (splits the host->device transfer);
+        # with_sharding_constraint inside sampled_forward row-shards the
+        # per-node compute; GSPMD inserts the collective pulls from the
+        # sharded tables — the multi-chip answer to the reference's
+        # host-side plan shipping (mxgraph/layers/layers.py:260-385).
+        self.mesh = mesh
+        self.shardings = None
+        self._row_shard = None
+        self._feed_shard = None
+        self._chunk_feed_shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from stargcn_tpu.parallel.shardings import GraphShardings
+            self.shardings = GraphShardings(mesh)
+            self._row_shard = NamedSharding(mesh, P("data", None))
+            self._feed_shard = NamedSharding(mesh, P("data"))
+            self._chunk_feed_shard = NamedSharding(mesh, P(None, "data"))
 
         it = data_iter
         train_ratings = it.train_ratings
@@ -82,6 +113,13 @@ class SampledTrainer:
         # Reference removes batch edges only when the batch is a strict
         # subset of the training edges (STAR-GCN.py:594).
         self.do_remove = self.s.remove_rating and self.train_batch < n_train
+        # Array sizes round up to a multiple of 16 (padded slots carry
+        # valid=0 / id=-1 and are masked everywhere).  Regular row
+        # counts tile cleanly on the MXU AND divide evenly on mesh
+        # axes — uneven GSPMD partitions of grad-carrying row dims
+        # produced NaN backward padding artifacts on the CPU partitioner
+        # (observed at recon rows 95/169 on a 2x2 mesh).
+        self.train_batch_pad = _round_up(self.train_batch, 16)
 
         # Fixed-size recon batches (pad with -1): the reference passes
         # the recon sampler's batch ids into the plan (STAR-GCN.py:602).
@@ -91,7 +129,8 @@ class SampledTrainer:
                 n_recon = int(np.ceil(
                     it.embed_P_mask[key]
                     * it.recon_train_candidates[key].size))
-                self.recon_cap[t] = min(self.s.recon_batch_size, n_recon)
+                self.recon_cap[t] = _round_up(
+                    min(self.s.recon_batch_size, n_recon), 16)
         else:
             self.recon_cap = {"user": 0, "item": 0}
 
@@ -110,6 +149,8 @@ class SampledTrainer:
         logging.info("sampled frontier caps: %s", self.caps)
 
         self.params = self._init_params()
+        if self.shardings is not None:
+            self.params = self.shardings.place_params(self.params)
         self.opt = make_optimizer(settings)
         self.opt_state = self.opt.init(self.params)
         self.lr = self.s.lr
@@ -179,13 +220,18 @@ class SampledTrainer:
             cfg.num_users, cfg.num_items, cfg.num_links, pad_multiple=64)
         B = 8
         model = STARGCN(cfg)
+        kw = {}
+        if cfg.use_fea_proj:
+            kw = dict(user_features=jnp.asarray(self._fea[0]),
+                      item_features=jnp.asarray(self._fea[1]))
         variables = model.init(
             {"params": jax.random.PRNGKey(self.s.seed),
              "dropout": jax.random.PRNGKey(1)},
             gd, gd.edge_pad_mask,
             jnp.zeros(cfg.num_users, jnp.int32),
             jnp.zeros(cfg.num_items, jnp.int32),
-            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), train=False)
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), train=False,
+            **kw)
         return variables["params"]
 
     def set_lr(self, lr: float):
@@ -213,7 +259,7 @@ class SampledTrainer:
         serialize pathologically on some runtimes)."""
         pairs, gt = next(rating_sampler)
         n = gt.size
-        B = self.train_batch
+        B = self.train_batch_pad
         bu = np.zeros(B, np.int32)
         bi = np.zeros(B, np.int32)
         gt_pad = np.zeros(B, np.float32)
@@ -251,9 +297,70 @@ class SampledTrainer:
             "plan": ht, "noise_u": noise_u, "noise_i": noise_i,
             "gt": gt, "valid": valid})
 
+    def _place_feed(self, ibuf, fbuf, chunked=False):
+        """Mesh mode: shard the packed feed buffers over 'data' (padding
+        the flat axis to a multiple of the axis size — unpack reads only
+        the spec'd prefix, so trailing zeros are inert)."""
+        if self.mesh is None:
+            return ibuf, fbuf
+        from stargcn_tpu.parallel.shardings import place
+        dp = self.mesh.shape["data"]
+        shard = self._chunk_feed_shard if chunked else self._feed_shard
+
+        def one(a):
+            pad = (-a.shape[-1]) % dp
+            if pad:
+                a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            return place(a, shard)
+
+        return one(ibuf), one(fbuf)
+
+    # ---------------------- frontier-cap recovery ----------------------
+
+    def _grow_caps(self, needed: dict, slack: float = 1.3):
+        """Grow the frontier caps past an observed overflow and point
+        every sampler at the new caps.  The next step's packed spec
+        changes, so jit compiles ONE new program and the run continues —
+        a rare large frontier must never be fatal mid-``fit``."""
+        for t, n in needed.items():
+            new = _round_up(int(n * slack), 256)
+            if new > self.caps.get(t, 0):
+                logging.warning(
+                    "frontier cap for %r grew %d -> %d (overflow "
+                    "recovery; one recompile)", t, self.caps.get(t), new)
+                self.caps[t] = new
+        for s in self.samplers.values():
+            s.frontier_caps = self.caps
+
+    def _replan(self, batch):
+        """Rebuild a batch's plan under the CURRENT caps (same pairs,
+        noise and recon ids; the neighborhoods are re-sampled)."""
+        plan, (bu, bi), gt, valid, noise_u, noise_i = batch
+        n = int(valid.sum())
+        exclude = (bu[:n], bi[:n]) if self.do_remove else None
+        kw = {}
+        if self.recon_cap.get("user", 0) or self.recon_cap.get("item", 0):
+            kw = dict(recon_user_ids=plan.recon_ids["user"],
+                      recon_item_ids=plan.recon_ids["item"])
+        new_plan = StackedPlan.build(
+            self.data_iter.train_graph, self.model_cfg, bu[:n], bi[:n],
+            fanout=self.fanout, sampler=self.samplers["train"],
+            exclude_pairs=exclude, **kw)
+        return new_plan, (bu, bi), gt, valid, noise_u, noise_i
+
+    def _build_batch_safe(self, rating_sampler, recon_sampler):
+        """``_make_batch`` with frontier-cap overflow recovery."""
+        from stargcn_tpu.graph.sampling import FrontierCapError
+        while True:
+            try:
+                return self._make_batch(rating_sampler, recon_sampler)
+            except FrontierCapError as e:
+                self._grow_caps(e.needed)
+
     def train_iteration(self, batch):
         self._rng_key, step_key = jax.random.split(self._rng_key)
         ibuf, fbuf, spec = self._pack_batch(batch)
+        ibuf, fbuf = self._place_feed(ibuf, fbuf)
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state, ibuf, fbuf, spec, step_key)
         return stats
@@ -266,10 +373,18 @@ class SampledTrainer:
         ``Trainer.train_chunk`` is the same design (``train/loop.py``)."""
         k = len(batches)
         packed = [self._pack_batch(b) for b in batches]
-        spec = packed[0][2]
-        if any(p[2] != spec for p in packed[1:]):
-            raise ValueError("train_chunk needs a constant packed spec "
-                             "across the chunk (fixed caps/batch)")
+        spec = packed[-1][2]
+        if any(p[2] != spec for p in packed[:-1]):
+            # Caps grew while the chunk was being built (overflow
+            # recovery): re-plan the stale batches under the new caps so
+            # the whole chunk shares one spec.
+            batches = [b if packed[i][2] == spec else self._replan(b)
+                       for i, b in enumerate(batches)]
+            packed = [self._pack_batch(b) for b in batches]
+            if any(p[2] != spec for p in packed):
+                raise ValueError(
+                    "train_chunk needs a constant packed spec across "
+                    "the chunk (fixed caps/batch)")
         ibufs = np.stack([p[0] for p in packed])
         fbufs = np.stack([p[1] for p in packed])
         keys = []
@@ -281,6 +396,7 @@ class SampledTrainer:
             self._chunk_step = jax.jit(partial(_sampled_train_chunk, self),
                                        static_argnums=(4,),
                                        donate_argnums=(0, 1))
+        ibufs, fbufs = self._place_feed(ibufs, fbufs, chunked=True)
         self.params, self.opt_state, stats = self._chunk_step(
             self.params, self.opt_state, ibufs, fbufs, spec,
             jnp.stack(keys))
@@ -299,7 +415,7 @@ class SampledTrainer:
         nu, ni = self.names
         noise_u = np.asarray(it.evaluate_embed_noise_dict[nu], np.int32)
         noise_i = np.asarray(it.evaluate_embed_noise_dict[ni], np.int32)
-        B = self.train_batch
+        B = self.train_batch_pad
         sq_sum = np.zeros(self.model_cfg.nblocks)
         cnt = 0
         for start in range(0, pairs.shape[1], B):
@@ -311,14 +427,21 @@ class SampledTrainer:
             valid = np.zeros(B, np.float32)
             bu[:n], bi[:n] = pairs[0, start:end], pairs[1, start:end]
             gt[:n], valid[:n] = ratings[start:end], 1.0
-            plan = StackedPlan.build(
-                graph, self.model_cfg, bu[:n], bi[:n], fanout=self.fanout,
-                sampler=sampler)
+            from stargcn_tpu.graph.sampling import FrontierCapError
+            while True:
+                try:
+                    plan = StackedPlan.build(
+                        graph, self.model_cfg, bu[:n], bi[:n],
+                        fanout=self.fanout, sampler=sampler)
+                    break
+                except FrontierCapError as e:
+                    self._grow_caps(e.needed)
             ht = plan.as_host_tree()
             ht["pairs_pos"] = _pairs_positions(plan, bu, bi)
             ibuf, fbuf, spec = pack_tree({
                 "plan": ht, "noise_u": noise_u, "noise_i": noise_i,
                 "gt": gt, "valid": valid})
+            ibuf, fbuf = self._place_feed(ibuf, fbuf)
             block_sq = self._eval_step(self.params, ibuf, fbuf, spec)
             sq_sum += np.asarray(block_sq)
             cnt += n
@@ -367,7 +490,8 @@ class SampledTrainer:
 
             def producer():
                 while not stop_evt.is_set():
-                    item = self._make_batch(rating_sampler, recon_sampler)
+                    item = self._build_batch_safe(rating_sampler,
+                                                  recon_sampler)
                     while not stop_evt.is_set():
                         try:
                             q.put(item, timeout=0.1)
@@ -379,7 +503,8 @@ class SampledTrainer:
             next_batch = q.get
         else:
             def next_batch():
-                return self._make_batch(rating_sampler, recon_sampler)
+                return self._build_batch_safe(rating_sampler,
+                                              recon_sampler)
 
         # Steps fused per dispatch via train_chunk when the logging/eval
         # cadence allows (numerically identical — same RNG sequence;
@@ -549,7 +674,8 @@ def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
     dplan["pairs_pos"] = pairs_pos
     return sampled_forward(params, cfg, dplan, noise_u, noise_i,
                            backend=trainer.backend, train=train,
-                           dropout_rng=rng)
+                           dropout_rng=rng, features=trainer._fea,
+                           row_sharding=trainer._row_shard)
 
 
 def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
