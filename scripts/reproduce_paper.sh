@@ -34,6 +34,15 @@ mkdir -p "$OUT"
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$REPO/.jax_cache}"
 
+# Pre-flight: hard-gate every dataset against its published invariants
+# (ratings/users/items/levels counts — stargcn_tpu/data/invariants.py)
+# so a truncated or mis-extracted archive fails HERE, not as a silently
+# wrong RMSE hours later.
+for ds in ml-100k ml-1m ml-10m; do
+    echo "=== pre-flight: $ds invariants ==="
+    python -m stargcn_tpu.data.invariants "$ds" "$DATA_ROOT"
+done
+
 SUMMARY="$OUT/summary.tsv"
 echo -e "config\tbest_iter\tbest_valid_rmse\tbest_test_rmse\tpaper_rmse" > "$SUMMARY"
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import os
+import shutil
 import time
 import urllib.request
 import zipfile
@@ -68,7 +69,9 @@ def fetch(url: str, dest: str, *, sha1: str | None = None,
     if os.path.exists(dest) and (sha1 is None or sha1_of(dest) == sha1):
         return dest
     os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
-    part = dest + ".part"
+    # Per-process temp name: concurrent trainers (multi-host runs share
+    # a filesystem) must not delete each other's in-flight .part files.
+    part = f"{dest}.part.{os.getpid()}"
     last_err: Exception | None = None
     for attempt in range(max(1, retries)):
         if attempt:
@@ -105,6 +108,34 @@ GLOVE_ARCHIVE = ("glove.840B.300d.zip",
                  "glove.840B.300d.txt")
 
 
+def _extract_atomic(archive: str, root: str, member: str) -> str:
+    """Extract ``archive`` so that ``root/member`` (a file or
+    directory) appears ATOMICALLY: extract into a per-process temp
+    sibling and rename into place.  An interrupted extraction can
+    therefore never leave a partial ``root/member`` that a later run's
+    existence check mistakes for complete — the same failure mode the
+    ``.part`` download protocol prevents, one step later."""
+    final = os.path.join(root, member)
+    tmp_root = os.path.join(root, f".extract.{os.getpid()}")
+    os.makedirs(tmp_root, exist_ok=True)
+    try:
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(tmp_root)
+        tmp_member = os.path.join(tmp_root, member)
+        if not os.path.exists(tmp_member):
+            raise FileNotFoundError(
+                f"archive {archive} did not contain the expected "
+                f"'{member}'")
+        try:
+            os.rename(tmp_member, final)
+        except OSError:
+            if not os.path.exists(final):  # lost a concurrent race?
+                raise
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return final
+
+
 def ensure_glove(root: str, *, retries: int = 5,
                  backoff_s: float = 1.0) -> str:
     """Return the path of ``glove.840B.300d.txt`` under ``root``,
@@ -116,12 +147,7 @@ def ensure_glove(root: str, *, retries: int = 5,
     archive = fetch(url, os.path.join(root, zip_name),
                     retries=retries, backoff_s=backoff_s)
     log.info("extracting %s", archive)
-    with zipfile.ZipFile(archive) as zf:
-        zf.extractall(root)
-    if not os.path.isfile(txt_path):
-        raise FileNotFoundError(
-            f"archive {archive} did not contain '{txt_name}'")
-    return txt_path
+    return _extract_atomic(archive, root, txt_name)
 
 
 def ensure_movielens(name: str, root: str, *, retries: int = 5,
@@ -136,13 +162,7 @@ def ensure_movielens(name: str, root: str, *, retries: int = 5,
     archive = fetch(url, os.path.join(root, zip_name),
                     retries=retries, backoff_s=backoff_s)
     log.info("extracting %s", archive)
-    with zipfile.ZipFile(archive) as zf:
-        zf.extractall(root)
-    if not os.path.isdir(data_dir):
-        raise FileNotFoundError(
-            f"archive {archive} did not contain the expected "
-            f"'{subdir}/' directory")
-    return data_dir
+    return _extract_atomic(archive, root, subdir)
 
 
 def _main(argv=None):
@@ -150,11 +170,16 @@ def _main(argv=None):
     <ml-100k|ml-1m|ml-10m|all|glove> [root]``."""
     import argparse
 
+    from stargcn_tpu.data.movielens import _DEFAULT_ROOT
+
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("what",
                    choices=sorted(MOVIELENS_ARCHIVES) + ["all", "glove"])
+    # Same default root LoadData resolves (<repo>/datasets) — a
+    # cwd-relative default would pre-fetch where training never looks.
     p.add_argument("root", nargs="?",
-                   default=os.environ.get("STARGCN_DATA_ROOT", "datasets"))
+                   default=os.environ.get("STARGCN_DATA_ROOT",
+                                          _DEFAULT_ROOT))
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     if args.what == "glove":

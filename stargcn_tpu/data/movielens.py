@@ -29,6 +29,7 @@ Differences from the reference (deliberate):
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 
@@ -87,12 +88,15 @@ def load_glove(path: str) -> dict[str, np.ndarray]:
             parts = line.rstrip("\n").split(" ")
             if len(parts) < 10:
                 continue
-            if dim is None:
-                dim = len(parts) - 1
+            try_dim = dim if dim is not None else len(parts) - 1
             try:
-                vec = np.asarray(parts[-dim:], dtype=np.float32)
+                vec = np.asarray(parts[-try_dim:], dtype=np.float32)
             except ValueError:
                 continue
+            # Latch dim only AFTER a successful parse: a corrupt or
+            # multi-word first line must not poison the dimension and
+            # silently drop every later line.
+            dim = try_dim
             table[" ".join(parts[:-dim])] = vec
     return table
 
@@ -179,6 +183,19 @@ class LoadData:
         all_csr = CSRMat.from_coo(
             u_idx, m_idx, vals, self.num_user, self.num_item,
             multi_link=self.uniq_ratings)
+        # Soft gate against the published dataset invariants
+        # (data/invariants.py): fixture-scale data in tests legitimately
+        # differs, so log rather than raise here; the hard gate is the
+        # pre-flight CLI / data-present tests.
+        from stargcn_tpu.data.invariants import (DataInvariantError,
+                                                 validate_loaded)
+        try:
+            validate_loaded(name, num_ratings=all_csr.nnz,
+                            num_users=self.num_user,
+                            num_items=self.num_item,
+                            num_levels=len(self.uniq_ratings))
+        except DataInvariantError as e:
+            logging.warning("dataset invariant check: %s", e)
         self._graph = HeterGraph(
             features={self.name_user: self.user_features,
                       self.name_item: self.item_features},
@@ -397,7 +414,15 @@ class LoadData:
         """[title embedding, (year-1950)/100, genres] (``datasets.py:574-590``)."""
         titles = self.movie_info["title"]
         n = len(titles)
-        glove = load_glove(self._glove_path) if self._glove_path else None
+        # An empty parse result means the file was unusable: fall back
+        # to the hashed embedding path rather than emitting all-zero
+        # title vectors.
+        glove = (load_glove(self._glove_path) or None
+                 if self._glove_path else None)
+        if self._glove_path and glove is None:
+            logging.warning("glove file %s parsed to an empty table; "
+                            "using hashed title embeddings",
+                            self._glove_path)
         dim = (len(next(iter(glove.values()))) if glove else 300)
         emb = np.zeros((n, dim), np.float32)
         years = np.zeros((n, 1), np.float32)
