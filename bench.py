@@ -44,6 +44,26 @@ features and projects afterwards — linear-equivalent — so it moves only
 (embed_units+1) * 4 B per edge message, ~15x less HBM traffic at the
 same math.)
 
+``vs_reference_fullstep`` states the BASELINE.json >=5x verdict
+directly: utils/refestimate.py models the reference's FULL training
+step on V100 (measured host graph-surgery + PCIe + max(launch, device),
+every term resolved in the reference's favor — see that module's
+docstring for the arithmetic) and the measured full-step rate is
+divided by the resulting bound, full step vs full step.
+
+Per-scenario fields added in round 3:
+  device_ms  median wall of the jitted dispatch with a FIXED pre-built
+             feed (host batch building excluded).  Upper-bounds true
+             device time by the dispatch/DMA latency of this
+             environment's TPU relay (round-1 xplane trace: ~1.4 ms
+             device vs 2.5 ms dispatch wall at ML-100k).
+  mfu        useful-FLOPs/s / chip bf16 peak (utils/flops.py counts the
+             ALGORITHM's work — backend padding burns more), so
+             edge-msgs/s is never mistaken for hardware efficiency.
+  ml10m_sampled additionally splits plan_ms (host planner) from
+             device_ms so the BASELINE.md 43-60 ms claim is
+             driver-verifiable.
+
 MFU note: the dense-MXU backend contracts a ~1.3%-nonzero (R, Nu, Ni)
 adjacency at ML-100k scale, so its useful-FLOP fraction (~ MFU) is
 ~1-2% — it wins on LATENCY (one big matmul beats E-row scatters), not
@@ -78,6 +98,31 @@ V100_KERNEL_BOUND = V100_HBM_EFF / REF_BYTES_PER_EDGE_MSG  # ~720e6
 
 def _median(xs):
     return sorted(xs)[len(xs) // 2]
+
+
+def _time_fixed(fn, iters=10, windows=3):
+    """Median seconds/call of ``fn`` (a thunk over a FIXED, pre-built
+    feed) — the device-path wall with host batch building excluded."""
+    import jax
+
+    jax.block_until_ready(jax.tree_util.tree_leaves(fn())[:1])
+    ts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[:1])
+        ts.append((time.perf_counter() - t0) / iters)
+    return _median(ts)
+
+
+def _mfu_fields(model_cfg, e_active, rating_batch, step_s):
+    """MFU = useful (algorithmic) FLOPs/s over chip bf16 peak."""
+    from stargcn_tpu.utils.flops import mfu, stargcn_step_flops
+
+    f = stargcn_step_flops(model_cfg, e_active, rating_batch)
+    return {"useful_tflops_per_s": round(f["step"] / step_s / 1e12, 3),
+            "mfu": round(mfu(f["step"], step_s), 5)}
 
 
 def bench_ml100k_dense():
@@ -122,10 +167,15 @@ def bench_ml100k_dense():
         windows.append((time.perf_counter() - t0) / (n_chunks * K))
     dt = _median(windows)
     rate = edges_per_step / dt
+    # device path alone: re-dispatch the SAME chunk (host sampling
+    # excluded; transfers still paid — they are part of this scenario)
+    dev = _time_fixed(lambda: trainer.train_chunk(rbs, cbs), iters=2) / K
     return {"edge_msgs_per_s": round(rate, 1),
             "step_ms": round(dt * 1e3, 3),
+            "device_ms": round(dev * 1e3, 3),
             "backend": cfgm.backend,
-            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3),
+            **_mfu_fields(cfgm, E, trainer.train_batch, dt)}
 
 
 def bench_ml100k_devsampler():
@@ -167,8 +217,12 @@ def bench_ml100k_devsampler():
     rate = edges_per_step / dt
     return {"edge_msgs_per_s": round(rate, 1),
             "step_ms": round(dt * 1e3, 3),
+            # the dispatch carries only RNG keys: the step wall IS the
+            # device-path wall (nothing host-side to exclude)
+            "device_ms": round(dt * 1e3, 3),
             "backend": cfgm.backend,
-            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3),
+            **_mfu_fields(cfgm, E, trainer.train_batch, dt)}
 
 
 def _build_ml10m():
@@ -256,22 +310,38 @@ def bench_ml10m_ell(steps=10, scan=5, backend="ell"):
     E = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
     edges_per_step = (model_cfg.nblocks * len(model_cfg.agg_units) * 2 * E)
     rate = edges_per_step / dt
+    fixed = [pull() for _ in range(scan)]
+    dev = _time_fixed(lambda: trainer.train_chunk([b[0] for b in fixed],
+                                                  [b[1] for b in fixed]),
+                      iters=2) / scan
     return {"edge_msgs_per_s": round(rate, 1),
             "step_ms": round(dt * 1e3, 1),
+            "device_ms": round(dev * 1e3, 1),
             "backend": model_cfg.backend,
             "vs_round1_xla_step": round(2.8 / dt, 2),
-            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3)}
+            "vs_v100_kernel_bound": round(rate / V100_KERNEL_BOUND, 3),
+            **_mfu_fields(model_cfg, E, trainer.train_batch, dt)}
 
 
-def bench_ml10m_sampled(iters=8):
+def bench_ml10m_sampled(iters=8, backend="xla"):
     """Sampled mini-batch mode on the ML-10M graph (fanout 8), serial
     plan-build + step (``SampledTrainer.fit(prefetch=False)``, the
     default).  The whole per-batch feed ships as two packed buffers
     (models/sampled.py pack_tree — 88-97 ms/step measured vs 311 ms
-    for the per-array feed); the fused native planner then halves it
-    again (plan 25 ms + step 18 ms ~ 43 ms/step synced, BASELINE.md).
-    A prefetch thread starves the dispatch path on this 4-core host,
-    so overlap stays opt-in."""
+    for the per-array feed).  The reported decomposition (round 3,
+    measured): plan 17-50 ms + pack ~7 ms + device ~1-31 ms; the
+    remainder of step_ms is this environment's relay transfer/dispatch
+    latency, which swings 10x between contention windows (22 ms to
+    300+ ms for the identical call sequence) — the round-2 "43-60 ms"
+    claim is a good-window number, step_ms records whatever window the
+    driver gets.  A prefetch thread starves the dispatch path on this
+    4-core host, so overlap stays opt-in.
+
+    ``backend='pallas'`` routes the device step's frontier pooling
+    through the Pallas fixed-fanout ELL kernels (ops/pallas_kernels.py)
+    instead of XLA gathers — the head-to-head that picks the production
+    default (reference tier being justified: seg_op.cu:573-790)."""
+    import jax
     import numpy as np
 
     from stargcn_tpu.train import build_model_config
@@ -285,7 +355,7 @@ def bench_ml10m_sampled(iters=8):
     model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
                                    len(csr.multi_link), num_edges=csr.nnz)
     trainer = SampledTrainer(model_cfg, it, TrainSettings.from_cfg(cfg),
-                             fanout=8)
+                             fanout=8, backend=backend)
     rs = it.rating_sampler(batch_size=trainer.train_batch, segment="train")
     recon = it.recon_nodes_sampler(batch_size=1024)
     batch = trainer._make_batch(rs, recon)
@@ -307,8 +377,55 @@ def bench_ml10m_sampled(iters=8):
               for lvl in chain.blocks for b in lvl.values())
     # nnz already sums over every block's chain, so no nblocks factor
     rate = nnz / dt
+
+    # plan/pack/device decomposition (driver-verifiable vs BASELINE.md):
+    # plan_ms = host planner alone; pack_ms = host feed packing;
+    # device_ms = re-dispatch of FIXED device-RESIDENT packed buffers
+    # (the true device tier; the remainder of step_ms is the
+    # host->device transfer + dispatch latency of this environment's
+    # TPU relay, which swings 10x between contention windows).
+    plan_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            trainer._make_batch(rs, recon)
+        plan_windows.append((time.perf_counter() - t0) / 4)
+    plan_s = _median(plan_windows)
+    ibuf, fbuf, spec = trainer._pack_batch(batch)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        trainer._pack_batch(batch)
+    pack_s = (time.perf_counter() - t0) / 4
+    di, df = jax.device_put(ibuf), jax.device_put(fbuf)
+    key = jax.random.PRNGKey(0)
+
+    def fixed_step():
+        p, o, st = trainer._train_step(trainer.params, trainer.opt_state,
+                                       di, df, spec, key)
+        trainer.params, trainer.opt_state = p, o
+        return st
+
+    dev_s = _time_fixed(fixed_step, iters=4)
+
+    # sampled useful FLOPs (dominant terms: per-slot aggregation MA +
+    # per-frontier-row per-level projection + decoder); x3 for bwd
+    from stargcn_tpu.utils.flops import V5E_PEAK_FLOPS
+    embed, agg = model_cfg.embed_units, model_cfg.agg_units[-1]
+    levels = model_cfg.num_links
+    proj_rows = sum(int(np.asarray(b.weight).shape[0])
+                    for chain in plan.chains
+                    for lvl in chain.blocks for b in lvl.values())
+    fwd = (2 * nnz * embed + levels * 2 * proj_rows * embed * agg
+           + model_cfg.nblocks * 2 * trainer.train_batch
+           * 2 * model_cfg.out_units[-1] * model_cfg.gen_rating_mid_map)
     return {"edge_msgs_per_s": round(rate, 1),
             "step_ms": round(dt * 1e3, 1),
+            "plan_ms": round(plan_s * 1e3, 1),
+            "pack_ms": round(pack_s * 1e3, 1),
+            "device_ms": round(dev_s * 1e3, 1),
+            "useful_tflops_per_s": round(3 * fwd / dt / 1e12, 3),
+            "mfu": round(3 * fwd / dt / V5E_PEAK_FLOPS, 5),
+            "backend": backend,
             "fanout": 8, "batch": int(trainer.train_batch)}
 
 
@@ -426,6 +543,8 @@ def main():
                   lambda: bench_ml10m_ell(backend="bitdense")),
                  ("ml10m_ell", bench_ml10m_ell),
                  ("ml10m_sampled", bench_ml10m_sampled),
+                 ("ml10m_sampled_pallas",
+                  lambda: bench_ml10m_sampled(backend="pallas")),
                  ("pallas_ell", bench_pallas_ell),
                  ("serving", bench_serving)]
     for name, fn in plan:
@@ -442,12 +561,51 @@ def main():
     # host-batched scenario if the device-sampler one errored.
     primary = (scenarios["ml100k_devsampler"].get("edge_msgs_per_s")
                or scenarios["ml100k_dense"].get("edge_msgs_per_s", 0.0))
+
+    # Full-step reference estimate (utils/refestimate.py): host graph
+    # surgery measured live in this environment when not in fast scope.
+    try:
+        from stargcn_tpu.utils.refestimate import estimate_all
+        ref = estimate_all(measure=not fast,
+                           datasets=["ml-100k", "ml-10m"])
+        for name in ("ml10m_bitdense", "ml10m_ell", "ml10m_sampled"):
+            sc = scenarios.get(name, {})
+            if "edge_msgs_per_s" in sc:
+                sc["vs_v100_fullstep_bound"] = round(
+                    sc["edge_msgs_per_s"] / ref["ml-10m"]["rate_bound"], 2)
+        r100k = ref["ml-100k"]
+        fullstep = {
+            "ref_rate_bound": r100k["rate_bound"],
+            "ref_rate_realistic": r100k["rate_realistic"],
+            "ref_step_ms_bound": r100k["step_ms_bound"],
+            "vs_bound": round(primary / r100k["rate_bound"], 2),
+            "vs_realistic": round(primary / r100k["rate_realistic"], 2),
+            "meets_5x_target": bool(primary >= 5 * r100k["rate_bound"]),
+            "detail": ref,
+            "note": (
+                "reference FULL step on V100 modeled per "
+                "utils/refestimate.py with every term in the reference's "
+                "favor: measured host graph surgery (this repo's OpenMP "
+                "kernels as stand-in, credited 2x faster) + PCIe feed + "
+                "max(launch, device) where device = 3x1000B/edge-msg HBM "
+                "gathers + fp32 GEMMs + Adam.  ml-100k bound: host "
+                f"{r100k['host_ms_credited']} ms + pcie {r100k['pcie_ms']}"
+                f" ms + device {r100k['device_ms_bound']} ms = "
+                f"{r100k['step_ms_bound']} ms/step -> "
+                f"{r100k['rate_bound']/1e6:.1f}M edge-msgs/s; measured "
+                f"{primary/1e6:.1f}M is full-step vs full-step."),
+        }
+    except Exception as e:
+        traceback.print_exc()
+        fullstep = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "train_step_edge_messages_per_s",
         "value": primary,
         "unit": "edge_msgs/s",
         "vs_baseline": round(primary / BASELINE_EDGES_PER_S, 3),
         "vs_reference_estimate": round(primary / V100_KERNEL_BOUND, 3),
+        "vs_reference_fullstep": fullstep,
         "reference_estimate_note": (
             "V100 kernel-only roofline upper bound "
             f"{V100_KERNEL_BOUND/1e6:.0f}M edge-msgs/s (900 GB/s * 0.8 / "

@@ -8,8 +8,16 @@ BASELINE.json.  On a multi-chip host it uses the real devices; with
 ``--virtual N`` it forces N virtual CPU devices (functional validation
 of the sharded path, not a performance number).
 
+Each mesh row also reports the ANALYTICAL collective model
+(``parallel/perfmodel.py``): the per-step psum/all-gather byte volumes
+the sharding layout implies, next to the collective ops ACTUALLY found
+in the compiled HLO — so the model is validated against what XLA
+inserted even without a pod.  ``--project`` prints the N-chip
+examples/s projection table from a measured single-chip step time.
+
     python experiments/scaling.py --meshes 1x1,2x1,2x4 --virtual 8
     python experiments/scaling.py --meshes 1x1,1x2,1x4   # on real chips
+    python experiments/scaling.py --project --step-ms 152 --batch 100000
 """
 
 import argparse
@@ -32,7 +40,17 @@ def main():
     parser.add_argument("--num_items", type=int, default=1024)
     parser.add_argument("--num_edges", type=int, default=100_000)
     parser.add_argument("--batch", type=int, default=8192)
+    parser.add_argument("--project", action="store_true",
+                        help="print the analytical N-chip projection "
+                             "table (no execution)")
+    parser.add_argument("--step-ms", type=float, default=152.0,
+                        help="measured 1-chip step ms the projection "
+                             "scales from (default: ML-10M bitdense "
+                             "sustained fit(), BASELINE.md)")
     args = parser.parse_args()
+
+    if args.project:
+        return project_table(args)
 
     if args.virtual:
         flags = os.environ.get("XLA_FLAGS", "")
@@ -71,9 +89,49 @@ def main():
         row = {"mesh": f"{d}x{m}", "step_ms": round(dt * 1e3, 3),
                "examples_per_s": round(trainer.train_batch / dt, 1),
                "edge_msgs_per_s": round(edges_per_step / dt, 1)}
+
+        # analytical collective model vs the compiled HLO's actual ops
+        from stargcn_tpu.parallel.perfmodel import (hlo_collectives,
+                                                    modeled_collectives,
+                                                    step_hlo_text)
+        vol = modeled_collectives(cfgm, d, m, backend=cfgm.backend)
+        row["modeled_collective_MB"] = {
+            k: round(vol[k] / 1e6, 3) for k in
+            ("model_allgather_bytes", "model_allreduce_bytes",
+             "data_allreduce_bytes")}
+        try:
+            hlo = hlo_collectives(step_hlo_text(trainer, batch, recon))
+            row["hlo_collectives"] = {
+                k: {"count": v["count"], "MB": round(v["bytes"] / 1e6, 3)}
+                for k, v in hlo.items()}
+        except Exception as e:  # pragma: no cover - depends on backend
+            row["hlo_collectives"] = {"error": str(e)}
         results.append(row)
         print(json.dumps(row))
     return results
+
+
+def project_table(args):
+    """Analytical 1/8/32-chip examples/s projection (perfmodel.project)
+    from a measured single-chip step time — the falsifiable prediction
+    a future pod run checks (no multi-chip hardware here)."""
+    from stargcn_tpu.parallel.perfmodel import project
+    from stargcn_tpu.train import build_model_config
+    from stargcn_tpu.utils.config import default_cfg
+
+    cfg = default_cfg()
+    cfg.EMBED.UNITS = 64
+    # default dims = ML-10M (what the default --step-ms was measured on)
+    nu = args.num_users if args.num_users != 1024 else 69_878
+    ni = args.num_items if args.num_items != 1024 else 10_677
+    ne = args.num_edges if args.num_edges != 100_000 else 10_000_000
+    model_cfg = build_model_config(cfg, nu, ni, 10, num_edges=ne)
+    rows = project(model_cfg, step_s_1chip=args.step_ms * 1e-3,
+                   batch=args.batch,
+                   meshes=((1, 1), (1, 8), (8, 1), (2, 4), (4, 8)))
+    for row in rows:
+        print(json.dumps(row))
+    return rows
 
 
 if __name__ == "__main__":

