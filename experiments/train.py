@@ -61,7 +61,22 @@ def main():
                         help="sample batches ON DEVICE inside the fused "
                              "scan (TRAIN.DEVICE_SAMPLER; single-chip "
                              "fast path)")
+    parser.add_argument("--prefetch", action="store_true",
+                        help="sampled mode: build plans in a one-ahead "
+                             "producer thread (OMP team capped at "
+                             "--prefetch_omp_threads; passive OMP waits "
+                             "set before JAX import).  Default serial — "
+                             "measured faster on few-core hosts")
+    parser.add_argument("--prefetch_omp_threads", default=2, type=int)
     args = parser.parse_args()
+
+    if args.prefetch:
+        # libgomp reads these at startup: spin-waiting planner threads
+        # starve the TPU-dispatch threads on few-core hosts
+        # (BASELINE.md host-threading finding).  Must precede the first
+        # OpenMP team, hence before any heavy import.
+        os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+        os.environ.setdefault("GOMP_SPINCOUNT", "0")
 
     if args.platform:
         if args.platform == "cpu" and args.mesh:
@@ -161,7 +176,11 @@ def main():
         with trace(args.profile):
             trainer.fit(max_iter=cfg.TRAIN.VALID_INTERVAL)
         logging.info("profile trace written to %s", args.profile)
-    result = trainer.fit()
+    fit_kw = {}
+    if fanout > 0 and args.prefetch:
+        fit_kw = dict(prefetch=True,
+                      prefetch_omp_threads=args.prefetch_omp_threads)
+    result = trainer.fit(**fit_kw)
     logging.info("result: %s", result)
     return result
 

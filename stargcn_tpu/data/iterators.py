@@ -28,88 +28,115 @@ from __future__ import annotations
 import numpy as np
 
 
-class NegEdgeGenerator:
-    """O(1) uniform negative-edge sampling via a swap-remap (Fisher-Yates
-    style perfect sampling over non-edges).
+class _RankSpaceSampler:
+    """Uniform draws from the complement of a sparse row set by rank-space
+    inversion.
 
-    Reference: ``NegEdgeGenerator`` (``mxgraph/iterators.py:5-111``).
-    For each row, the first ``row_degree`` slots of a virtual permutation
-    of ``[0, ncols)`` are swapped to hold the positive columns, so drawing
-    uniformly from ``[row_degree, ncols)`` through the remap yields a
-    uniform non-neighbor.
+    For one row with sorted positive columns ``P`` over ``[0, ncols)``,
+    the k-th (0-based) NON-neighbor is ``k + i*`` where ``i* =
+    searchsorted(P - arange(|P|), k, 'right')`` — the classic k-th
+    missing-element closed form: ``P[i] - i`` counts the non-neighbors
+    below ``P[i]``, so one binary search inverts the rank.  Exact
+    (rejection-free), O(log deg) per draw, no per-edge state.
+    """
+
+    def __init__(self, indptr, indices, width):
+        self.indptr = np.asarray(indptr, np.int64)
+        self.width = int(width)
+        n = self.indptr.size - 1
+        # per-row sorted copy (CSRMat does not guarantee column order)
+        self.sorted_cols = np.asarray(indices, np.int64).copy()
+        for r in range(n):
+            s, e = self.indptr[r], self.indptr[r + 1]
+            self.sorted_cols[s:e] = np.sort(self.sorted_cols[s:e])
+        deg = np.diff(self.indptr)
+        self.free = (self.width - deg).astype(np.int64)  # non-neighbors/row
+
+    def draw(self, rows, rng):
+        """One uniform non-neighbor per row (rows must have free > 0)."""
+        rows = np.asarray(rows, np.int64)
+        k = (rng.random_sample(rows.size) * self.free[rows]).astype(np.int64)
+        out = np.empty(rows.size, np.int64)
+        for j, (r, kk) in enumerate(zip(rows, k)):
+            s, e = self.indptr[r], self.indptr[r + 1]
+            p = self.sorted_cols[s:e]
+            i = np.searchsorted(p - np.arange(p.size), kk, side="right")
+            out[j] = kk + i
+        return out
+
+
+class NegEdgeGenerator:
+    """Uniform negative (non-edge) sampling over a bipartite rating graph.
+
+    Capability parity with the reference class
+    (``mxgraph/iterators.py:5-111`` — which the reference experiment
+    constructs but never draws from; kept as public surface).  The
+    design is new: rank-space inversion per endpoint
+    (``_RankSpaceSampler``) instead of the reference's per-edge
+    swap-remap hash tables — no O(E) Python preprocessing, exact
+    uniformity, O(log deg) per draw.
     """
 
     def __init__(self, rng, csr_mat):
         self._rng = rng
-        self._csr_mat = csr_mat
-        self._nrows, self._ncols = csr_mat.shape
-        self._row_degrees = csr_mat.row_degrees
-        self._col_degrees = csr_mat.col_degrees
-        self._row_remap = [dict() for _ in range(self._nrows)]
-        self._col_remap = [dict() for _ in range(self._ncols)]
-        row_cnt = np.zeros(self._nrows, np.int64)
-        col_cnt = np.zeros(self._ncols, np.int64)
-        pairs = csr_mat.node_pair_indices
-        for r, c in zip(pairs[0], pairs[1]):
-            self._swap(self._row_remap[r], int(row_cnt[r]), int(c))
-            row_cnt[r] += 1
-            self._swap(self._col_remap[c], int(col_cnt[c]), int(r))
-            col_cnt[c] += 1
-        assert np.array_equal(row_cnt, self._row_degrees)
-        assert np.array_equal(col_cnt, self._col_degrees)
-        probs = (self._ncols - self._row_degrees).astype(np.float64)
-        self._row_probs = probs / probs.sum()
+        self._csr = csr_mat
+        nrows, ncols = csr_mat.shape
+        rows_of = np.repeat(np.arange(nrows, dtype=np.int64),
+                            np.diff(csr_mat.ind_ptr))
+        self._by_row = _RankSpaceSampler(csr_mat.ind_ptr,
+                                         csr_mat.end_points, ncols)
+        # column-major view for sampling rows given a column
+        order = np.argsort(csr_mat.end_points, kind="stable")
+        col_indptr = np.zeros(ncols + 1, np.int64)
+        np.add.at(col_indptr, np.asarray(csr_mat.end_points,
+                                         np.int64) + 1, 1)
+        np.cumsum(col_indptr, out=col_indptr)
+        self._by_col = _RankSpaceSampler(col_indptr, rows_of[order], nrows)
+        w = self._by_row.free.astype(np.float64)
+        self._row_weights = w / w.sum()
 
-    @staticmethod
-    def _swap(remap, cnt, val):
-        cur_val = remap.get(val, val)
-        cur_cnt = remap.get(cnt, cnt)
-        remap[cnt] = cur_val
-        remap[val] = cur_cnt
+    def sample_pairs(self, n):
+        """n uniform non-edges: rows weighted by their non-edge count
+        (= uniform over the global non-edge set), then one uniform
+        non-neighbor column each."""
+        rows = self._rng.choice(self._by_row.free.size, n, replace=True,
+                                p=self._row_weights).astype(np.int64)
+        return rows, self._by_row.draw(rows, self._rng)
 
-    def rand_neg_col_with_row(self, row):
-        v = self._rng.randint(self._row_degrees[row], self._ncols)
-        return self._row_remap[row].get(v, v)
+    def sample_cols_for_rows(self, rows):
+        return self._by_row.draw(rows, self._rng)
 
-    def rand_neg_row_with_col(self, col):
-        v = self._rng.randint(self._col_degrees[col], self._nrows)
-        return self._col_remap[col].get(v, v)
-
-    def rand_neg_edges(self, n):
-        rows = self._rng.choice(self._nrows, n, replace=True,
-                                p=self._row_probs).astype(np.int32)
-        cols = np.asarray([self.rand_neg_col_with_row(r) for r in rows],
-                          np.int32)
-        return rows, cols
+    def sample_rows_for_cols(self, cols):
+        return self._by_col.draw(cols, self._rng)
 
     def gen(self, pos_edges, neg_sample_type="all", neg_ratio=1.0):
-        """Negative edges for the given positives; ``'same_node'`` keeps one
-        endpoint, ``'all'`` samples fresh rows (``iterators.py:62-111``)."""
-        pos = np.stack([self._csr_mat.row_id_to_ind(pos_edges[0]),
-                        self._csr_mat.col_id_to_ind(pos_edges[1])])
-        if neg_sample_type == "same_node":
-            rows, cols = [], []
-            for r, c in pos.T:
-                if self._rng.randint(2):
-                    if self._row_degrees[r] < self._ncols:
-                        rows.append(r)
-                        cols.append(self.rand_neg_col_with_row(r))
-                        continue
-                elif self._col_degrees[c] < self._nrows:
-                    rows.append(self.rand_neg_row_with_col(c))
-                    cols.append(c)
-                    continue
-                rr, cc = self.rand_neg_edges(1)
-                rows.append(rr[0]); cols.append(cc[0])
-            rows = np.asarray(rows, np.int32)
-            cols = np.asarray(cols, np.int32)
-        elif neg_sample_type == "all":
-            rows, cols = self.rand_neg_edges(
-                int(np.round(neg_ratio * pos.shape[1])))
+        """Negative edges for the given positives.  ``'same_node'`` keeps
+        one endpoint of each positive (coin flip, falling back to the
+        other side or a fresh pair when an endpoint is saturated);
+        ``'all'`` draws ``neg_ratio * npos`` fresh non-edges."""
+        csr = self._csr
+        pos_r = np.asarray(csr.row_id_to_ind(pos_edges[0]), np.int64)
+        pos_c = np.asarray(csr.col_id_to_ind(pos_edges[1]), np.int64)
+        if neg_sample_type == "all":
+            rows, cols = self.sample_pairs(
+                int(np.round(neg_ratio * pos_r.size)))
+        elif neg_sample_type == "same_node":
+            keep_row = self._rng.randint(2, size=pos_r.size).astype(bool)
+            # a saturated endpoint (no non-neighbors) flips to the other
+            # side; both saturated -> fresh pair
+            keep_row &= self._by_row.free[pos_r] > 0
+            use_col = ~keep_row & (self._by_col.free[pos_c] > 0)
+            fresh = ~keep_row & ~use_col
+            rows = pos_r.copy()
+            cols = pos_c.copy()
+            cols[keep_row] = self._by_row.draw(pos_r[keep_row], self._rng)
+            rows[use_col] = self._by_col.draw(pos_c[use_col], self._rng)
+            if fresh.any():
+                rows[fresh], cols[fresh] = self.sample_pairs(
+                    int(fresh.sum()))
         else:
             raise NotImplementedError(neg_sample_type)
-        return np.stack([self._csr_mat.row_ids[rows],
-                         self._csr_mat.col_ids[cols]])
+        return np.stack([csr.row_ids[rows], csr.col_ids[cols]])
 
 
 class DataIterator:

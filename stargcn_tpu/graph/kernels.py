@@ -47,6 +47,17 @@ def set_seed(seed: int) -> None:
         _native.set_seed(int(seed))
 
 
+def set_omp_threads(n: int) -> int:
+    """Cap the OpenMP team size for native kernels called from the
+    CALLING thread (nthreads-var is a per-thread ICV).  Used by the
+    sampled-mode prefetch producer so its planner teams leave cores for
+    the TPU-dispatch threads (BASELINE.md host-threading finding).
+    Returns the resulting max team size (1 without the native ext)."""
+    if _native is not None and hasattr(_native, "set_omp_threads"):
+        return int(_native.set_omp_threads(int(n)))
+    return 1
+
+
 def _rng(seed=None):
     """Fallback RNG: the persistent advancing stream, or a one-shot
     deterministic stream when an explicit ``seed`` is given."""

@@ -77,6 +77,24 @@ int num_threads_capped() {
 #endif
 }
 
+// Caps the OpenMP team size for kernels called from the CALLING
+// thread (nthreads-var is a per-thread ICV): the sampled-mode prefetch
+// producer uses this so its planner teams stop oversubscribing the
+// cores the TPU-dispatch threads need (BASELINE.md host-threading
+// finding: a full-width producer team starves dispatch on few-core
+// hosts).  Returns the resulting max team size.
+PyObject* py_set_omp_threads(PyObject*, PyObject* args) {
+  int n = 0;
+  if (!PyArg_ParseTuple(args, "i", &n)) return nullptr;
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+  return PyLong_FromLong(omp_get_max_threads());
+#else
+  (void)n;
+  return PyLong_FromLong(1);
+#endif
+}
+
 // Releases the GIL for the pure-C++ compute section of each kernel (no
 // Python/NumPy API calls allowed inside).  Standard CPython-extension
 // hygiene: host kernel calls (some 100+ ms at ML-10M scale) must not
@@ -1290,6 +1308,8 @@ PyMethodDef kMethods[] = {
      "Bit-pack a (masked) multi-link adjacency, 8 dst planes per byte."},
     {"sample_block_ell", py_sample_block_ell, METH_VARARGS,
      "Fused sampled-plan block: sample+support+exclude+merge+ELL."},
+    {"set_omp_threads", py_set_omp_threads, METH_VARARGS,
+     "Cap OpenMP team size for kernels called from this thread."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_graph_kernels",

@@ -450,7 +450,7 @@ class SampledTrainer:
     # -------------------------------- fit ------------------------------------
 
     def fit(self, max_iter: Optional[int] = None, log=logging.info,
-            prefetch: bool = False):
+            prefetch: bool = False, prefetch_omp_threads: int = 2):
         """The reference training schedule (``STAR-GCN.py:507-713``) over
         sampled mini-batches.
 
@@ -459,7 +459,14 @@ class SampledTrainer:
         driving a remote TPU the producer starves the dispatch path
         (measured 2.0-19 s/step prefetched vs 0.32 s serial on a 4-core
         host at ML-10M, fanout 8) — opt in only when host cores
-        comfortably exceed the OpenMP thread cap."""
+        comfortably exceed the OpenMP thread cap.  The producer caps its
+        own OpenMP teams at ``prefetch_omp_threads`` (per-thread ICV —
+        main-thread kernel calls keep the full cap) so planner teams
+        stop oversubscribing dispatch cores; libgomp's spin-waits are
+        the other half of the round-2 finding, so a prefetching launch
+        should also set ``OMP_WAIT_POLICY=PASSIVE``/``GOMP_SPINCOUNT=0``
+        in the environment (startup-read; the CLI ``--prefetch`` path
+        does this before JAX import)."""
         s = self.s
         it = self.data_iter
         max_iter = max_iter or s.max_iter
@@ -489,6 +496,8 @@ class SampledTrainer:
             q: queue.Queue = queue.Queue(maxsize=2)
 
             def producer():
+                from stargcn_tpu.graph import kernels
+                kernels.set_omp_threads(prefetch_omp_threads)
                 while not stop_evt.is_set():
                     item = self._build_batch_safe(rating_sampler,
                                                   recon_sampler)

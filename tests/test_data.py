@@ -187,6 +187,39 @@ def test_neg_edge_generator(rng):
         # every generated pair is a non-edge
         vals = csr.fetch_edges_by_id(neg)
         np.testing.assert_array_equal(vals, np.zeros(20))
+    # same_node keeps one endpoint of each positive
+    neg = gen.gen(pos, neg_sample_type="same_node")
+    kept = (neg[0] == pos[0]) | (neg[1] == pos[1])
+    assert kept.all()
+
+
+def test_neg_edge_generator_uniform_coverage(rng):
+    """Rank-space inversion is exact: over many draws every non-edge is
+    hit, no edge ever is, and the empirical distribution is flat."""
+    g = synthetic_graph(num_users=6, num_items=5, num_edges=14, seed=7)
+    csr = g["user", "movie"]
+    dense = np.zeros(csr.shape, bool)
+    pi = csr.node_pair_indices
+    dense[pi[0], pi[1]] = True
+    non_edges = int((~dense).sum())
+
+    gen = NegEdgeGenerator(rng, csr)
+    n = 200 * non_edges
+    rows, cols = gen.sample_pairs(n)
+    assert not dense[rows, cols].any()
+    counts = np.zeros(csr.shape, np.int64)
+    np.add.at(counts, (rows, cols), 1)
+    hit = counts[~dense]
+    assert (hit > 0).all()                      # full support
+    assert hit.max() < 2.0 * hit.mean()         # roughly flat
+
+    # conditional draws cover each row's full complement
+    r = int(np.argmax((~dense).sum(1)))
+    draws = gen.sample_cols_for_rows(np.full(100 * csr.shape[1], r))
+    assert set(draws) == set(np.flatnonzero(~dense[r]))
+    c = int(np.argmax((~dense).sum(0)))
+    draws = gen.sample_rows_for_cols(np.full(100 * csr.shape[0], c))
+    assert set(draws) == set(np.flatnonzero(~dense[:, c]))
 
 
 class TestGlove:
