@@ -91,6 +91,26 @@ def run_rank(rank: int, coordinator: str, workdir: str):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     print(f"rank {rank}: losses={losses} valid_rmse={rmse.tolist()}",
           flush=True)
+
+    # Sampled mode across processes — BASELINE.json north-star config 5
+    # ("multi-host row-sharded tables, all-to-all neighbor exchange"):
+    # the DP axis of the packed feed spans PROCESSES, the tables
+    # row-shard over 'model', and every rank builds identical plans
+    # (same seeds).
+    from stargcn_tpu.train.sampled_loop import SampledTrainer
+
+    st = SampledTrainer(cfg, it, s, fanout=3, mesh=mesh)
+    srs = it.rating_sampler(batch_size=st.train_batch, segment="train")
+    srecon = it.recon_nodes_sampler(batch_size=s.recon_batch_size)
+    s_losses = []
+    for _ in range(3):
+        stats = st.train_iteration(st._make_batch(srs, srecon))
+        s_losses.append(float(stats["loss"]))
+    assert all(np.isfinite(s_losses)), s_losses
+    s_rmse = st.evaluate("valid")
+    assert np.isfinite(s_rmse).all()
+    print(f"rank {rank}: sampled losses={s_losses} "
+          f"valid_rmse={s_rmse.tolist()}", flush=True)
     print(f"rank {rank}: MULTIPROCESS OK", flush=True)
 
 
