@@ -122,13 +122,14 @@ def test_model_kinds_match_compiled_hlo():
     gathered = (hlo.get("all-gather", {}).get("count", 0)
                 + hlo.get("collective-permute", {}).get("count", 0))
     assert vol["model_allgather_bytes"] > 0 and gathered > 0
-    # volumes: same order of magnitude class, not equality — GSPMD also
-    # moves tensors the coarse model folds away.  Guard against the
-    # model being wildly off in either direction.
+    # volumes: not equality — GSPMD also moves tensors the coarse model
+    # folds away (loss scalars, eval stats) and may fuse others — but
+    # the totals must stay in the same band (measured ratio at this
+    # config: ~2.3x).
     modeled = (vol["model_allgather_bytes"] + vol["model_allreduce_bytes"]
                + vol["data_allreduce_bytes"])
     actual = hlo["total"]["bytes"]
-    assert actual / 50 < modeled < actual * 50
+    assert actual / 8 < modeled < actual * 8
 
     single = make_trainer(None)
     hlo1 = hlo_collectives(step_hlo_text(single, batch, recon))
