@@ -26,25 +26,39 @@ def synthetic_ratings(num_users=943, num_items=1682, num_edges=100_000,
     # Zipf-ish item popularity, uniform users.
     item_w = 1.0 / np.arange(1, num_items + 1) ** popularity_skew
     item_w /= item_w.sum()
-    users = np.empty(0, np.int64)
-    items = np.empty(0, np.int64)
-    seen = set()
-    while users.size < target:
-        n = (target - users.size) * 2
-        u = rng.randint(0, num_users, n)
-        i = rng.choice(num_items, n, p=item_w)
-        keys = u.astype(np.int64) * num_items + i
-        fresh = []
-        for k in keys:
-            if k not in seen:
-                seen.add(k)
-                fresh.append(k)
-            if len(seen) >= target:
-                break
-        fresh = np.asarray(fresh, np.int64)
-        users = np.concatenate([users, fresh // num_items])
-        items = np.concatenate([items, fresh % num_items])
-    users, items = users[:target], items[:target]
+    if target > 2_000_000:
+        # Vectorised dedup for beyond-HBM-scale graphs (the Python-set
+        # path below is exact-order-preserving but O(target) in the
+        # interpreter; np.unique handles 50M+ edges in seconds).
+        keys = np.empty(0, np.int64)
+        while keys.size < target:
+            n = int((target - keys.size) * 1.6) + 1024
+            u = rng.randint(0, num_users, n).astype(np.int64)
+            i = rng.choice(num_items, n, p=item_w).astype(np.int64)
+            keys = np.unique(np.concatenate([keys, u * num_items + i]))
+        keys = rng.permutation(keys)[:target]
+        users = keys // num_items
+        items = keys % num_items
+    else:
+        users = np.empty(0, np.int64)
+        items = np.empty(0, np.int64)
+        seen = set()
+        while users.size < target:
+            n = (target - users.size) * 2
+            u = rng.randint(0, num_users, n)
+            i = rng.choice(num_items, n, p=item_w)
+            keys = u.astype(np.int64) * num_items + i
+            fresh = []
+            for k in keys:
+                if k not in seen:
+                    seen.add(k)
+                    fresh.append(k)
+                if len(seen) >= target:
+                    break
+            fresh = np.asarray(fresh, np.int64)
+            users = np.concatenate([users, fresh // num_items])
+            items = np.concatenate([items, fresh % num_items])
+        users, items = users[:target], items[:target]
     # Ratings correlated with a latent user/item quality, clipped to levels.
     uq = rng.normal(3.5, 1.0, num_users)
     iq = rng.normal(0.0, 0.7, num_items)
