@@ -54,6 +54,12 @@ class BipartiteGraphData:
     num_users: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     num_links: int = dataclasses.field(metadata=dict(static=True))
+    # False when the pair-key space exceeds int32 (x64 is disabled on
+    # device): the in-jit pair->edge lookup is then unavailable —
+    # full-graph in-jit edge removal and the device sampler need it,
+    # sampled mode and host-side lookups (int64 numpy) do not.
+    has_pair_lookup: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
 
     @property
     def num_edges_padded(self) -> int:
@@ -76,19 +82,25 @@ class BipartiteGraphData:
         pad_mask = np.concatenate(
             [np.ones(E, np.float32), np.zeros(pad, np.float32)])
 
-        # Pair keys fit int32 for every MovieLens-scale graph; guard the
-        # overflow (x64 is disabled on device, so int64 keys would wrap).
-        assert (num_users + 1) * num_items + 1 < 2**31, (
-            "pair-key space exceeds int32; shard the lookup")
-        keys = users.astype(np.int32) * num_items + items
-        order = np.argsort(keys, kind="stable")
-        # Padded lookup: sentinel key larger than any valid key so that
-        # searchsorted misses resolve to a non-matching slot.
-        sentinel = np.int32(num_users * num_items + 1)
-        lookup_keys = np.concatenate(
-            [keys[order], np.full(pad, sentinel, np.int32)])
-        lookup_perm = np.concatenate(
-            [order.astype(np.int32), np.zeros(pad, np.int32)])
+        # Pair keys fit int32 for every MovieLens-scale graph (x64 is
+        # disabled on device, so int64 keys would wrap).  Beyond that —
+        # beyond-HBM graphs trained in sampled mode — the device lookup
+        # is skipped (has_pair_lookup=False); host-side lookups use
+        # int64 numpy and are unaffected.
+        has_lookup = (num_users + 1) * num_items + 1 < 2**31
+        if has_lookup:
+            keys = users.astype(np.int32) * num_items + items
+            order = np.argsort(keys, kind="stable")
+            # Padded lookup: sentinel key larger than any valid key so
+            # that searchsorted misses resolve to a non-matching slot.
+            sentinel = np.int32(num_users * num_items + 1)
+            lookup_keys = np.concatenate(
+                [keys[order], np.full(pad, sentinel, np.int32)])
+            lookup_perm = np.concatenate(
+                [order.astype(np.int32), np.zeros(pad, np.int32)])
+        else:
+            lookup_keys = np.zeros(1, np.int32)
+            lookup_perm = np.zeros(1, np.int32)
 
         return BipartiteGraphData(
             edge_user=jnp.asarray(edge_user),
@@ -100,6 +112,7 @@ class BipartiteGraphData:
             num_users=int(num_users),
             num_items=int(num_items),
             num_links=int(num_links),
+            has_pair_lookup=bool(has_lookup),
         )
 
     @staticmethod
@@ -127,6 +140,12 @@ class BipartiteGraphData:
         ``remove_edges_by_id`` (``STAR-GCN.py:595-600``): a binary search
         over the sorted pair keys plus one scatter.
         """
+        if not self.has_pair_lookup:
+            raise ValueError(
+                "pair-key space exceeds int32: in-jit edge removal is "
+                "unavailable at this scale — train beyond-HBM graphs in "
+                "sampled mode (REMOVE_RATING exclusion happens in the "
+                "host planner there)")
         q = pairs_user.astype(jnp.int32) * self.num_items + \
             pairs_item.astype(jnp.int32)
         pos = jnp.searchsorted(self.lookup_keys, q)

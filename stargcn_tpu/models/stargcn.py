@@ -143,6 +143,11 @@ class STARGCN(nn.Module):
             if len(removed_pairs) == 4:
                 removed_info = removed_pairs
             else:
+                if not graph.has_pair_lookup:
+                    raise ValueError(
+                        "pair-key space exceeds int32: pass the "
+                        "host-computed (pu, pi, hit, rating) tuple "
+                        "instead of the 3-tuple in-jit lookup form")
                 pu, pi, valid = removed_pairs
                 q = (pu.astype(jnp.int32) * graph.num_items
                      + pi.astype(jnp.int32))
