@@ -224,3 +224,27 @@ def test_heter_graph_save_load(rng, tmp_path):
     np.testing.assert_allclose(g2.features["user"], g.features["user"])
     assert g2["user", "movie"].nnz == csr.nnz
     np.testing.assert_array_equal(g2["user", "movie"].values, csr.values)
+
+
+def test_device_graph_pair_lookup_gating(rng):
+    """Beyond int32 pair-key space the device lookup is skipped (not an
+    assert): sampled mode still constructs, in-jit removal raises."""
+    import jax.numpy as jnp
+
+    from stargcn_tpu.graph.device import BipartiteGraphData
+
+    n = 64
+    big = 70_000  # 70k * 70k > 2**31
+    gd = BipartiteGraphData.from_arrays(
+        rng.randint(0, big, n), rng.randint(0, big, n),
+        rng.randint(0, 5, n), big, big, 5, pad_multiple=64)
+    assert not gd.has_pair_lookup
+    with pytest.raises(ValueError, match="sampled mode"):
+        gd.edge_mask_from_pairs(jnp.zeros(4, jnp.int32),
+                                jnp.zeros(4, jnp.int32),
+                                jnp.ones(4), gd.edge_pad_mask)
+
+    small = BipartiteGraphData.from_arrays(
+        rng.randint(0, 100, n), rng.randint(0, 100, n),
+        rng.randint(0, 5, n), 100, 100, 5, pad_multiple=64)
+    assert small.has_pair_lookup
