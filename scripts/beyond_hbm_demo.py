@@ -95,11 +95,18 @@ def main():
     batch = trainer._build_batch_safe(rs, recon)
     trainer.train_iteration(batch)  # compile
     t0 = time.time()
-    for _ in range(args.iters):
+    pending = []
+    for i in range(args.iters):
         stats = trainer.train_iteration(
             trainer._build_batch_safe(rs, recon))
-        losses.append(stats["loss"])
-    losses = [float(x) for x in jax.device_get(losses)]
+        pending.append(stats["loss"])
+        if (i + 1) % 10 == 0:
+            # bound the dispatch queue: each queued step holds its feed
+            # buffers (plan + full-size noise arrays) in HBM until it
+            # executes — unbounded async dispatch OOMs at this scale
+            losses.extend(float(x) for x in jax.device_get(pending))
+            pending.clear()
+    losses.extend(float(x) for x in jax.device_get(pending))
     train_s = time.time() - t0
     rmse = trainer.evaluate("valid")
 

@@ -869,6 +869,12 @@ class Trainer:
                 iter_idx += 1
             if monitor is not None:
                 monitor.beat()
+            if len(pending) > 16:
+                # Bound in-flight dispatches: every queued step pins its
+                # feed buffers in HBM until it executes, so an unbounded
+                # async queue OOMs at large scales (observed at 500k-node
+                # graphs).  Waiting on the OLDEST keeps the pipeline full.
+                jax.block_until_ready(pending[-16]["loss"])
 
             logging_str = ""
             if iter_idx % s.log_interval == 0:

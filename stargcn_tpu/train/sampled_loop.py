@@ -533,6 +533,13 @@ class SampledTrainer:
                 iter_idx += k
                 pending.append(stats)
                 pending_cnt += self.train_batch * k
+                if len(pending) > 16:
+                    # Bound in-flight dispatches: each queued step pins
+                    # its packed feed (plan + full-size noise arrays) in
+                    # HBM until it executes — unbounded async dispatch
+                    # OOMs at beyond-HBM graph scales.  Waiting on the
+                    # oldest unfinished step keeps the pipeline full.
+                    jax.block_until_ready(pending[-16]["loss"])
 
                 logging_str = ""
                 if iter_idx % s.log_interval == 0:
