@@ -325,6 +325,41 @@ def _ell_aggregate(proj, block, accum, use_pallas):
     return pooled.reshape(n_dst, R * units)
 
 
+def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
+    """Aggregate RAW source rows per rating level, then project the
+    pooled result — linear-equivalent to project-then-pool (projection
+    and pooling are both linear: ``pool_r(xW_r + b_r) = pool_r(x)W_r +
+    wsum_r b_r``), with the per-level intermediate shrunk from
+    ``(R, n_src, agg_units)`` to ``(n_dst, R, embed)``.
+
+    The same insight as the chunked-ELL/bitdense full-graph backends
+    (move raw features, not projected ones); at beyond-HBM frontier
+    sizes (260k-row frontiers, R=10, agg 250) the projected tensor is
+    2.6 GB and OOMs where the raw pooled one is 190 MB.
+    """
+    if ordinal_sharing:
+        weight = jnp.cumsum(weight, axis=0)
+        bias = jnp.cumsum(bias, axis=0)
+    R = weight.shape[0]
+    n_src = x.shape[0]
+    idx = block["idx"]          # rating * n_src + nbr_pos (combined)
+    w = block["weight"]         # (n_dst, K); 0 on padded slots
+    msg = jnp.take(x, idx % n_src, axis=0) * w[:, :, None]       # N,K,E
+    onehot = jax.nn.one_hot(idx // n_src, R, dtype=x.dtype)      # N,K,R
+    raw = jnp.einsum("nke,nkr->nre", msg, onehot,
+                     preferred_element_type=jnp.float32)
+    wsum = jnp.einsum("nk,nkr->nr", w, onehot,
+                      preferred_element_type=jnp.float32)
+    if accum == "sum":
+        out = jnp.einsum("nre,rea->na", raw, weight,
+                         preferred_element_type=jnp.float32)
+        return out + wsum @ bias
+    ch = jnp.einsum("nre,rea->nra", raw, weight,
+                    preferred_element_type=jnp.float32)
+    ch = ch + wsum[:, :, None] * bias[None]
+    return ch.reshape(ch.shape[0], -1)
+
+
 def sampled_forward(params, cfg, plan, noise_user, noise_item,
                     backend: str = "xla", *, train: bool = False,
                     dropout_rng=None, features=None, row_sharding=None):
@@ -432,11 +467,22 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
             new_feats = {}
             for t, s in (("user", "item"), ("item", "user")):
                 agg_p = layer[f"agg_{t}_{s}"]
-                proj = multi_link_project(
-                    dropout(feats[s]), agg_p["weight"], agg_p["bias"],
-                    ordinal_sharing=cfg.agg_ordinal_sharing)
-                pooled = _ell_aggregate(proj, lvl[t], cfg.agg_accum,
-                                        use_pallas)
+                if use_pallas:
+                    # The Pallas ELL kernel pools pre-projected rows
+                    # (the reference kernel's contract,
+                    # seg_op.cu:573-790) — kept as-is for the
+                    # head-to-head; XLA default pools raw rows first.
+                    proj = multi_link_project(
+                        dropout(feats[s]), agg_p["weight"],
+                        agg_p["bias"],
+                        ordinal_sharing=cfg.agg_ordinal_sharing)
+                    pooled = _ell_aggregate(proj, lvl[t],
+                                            cfg.agg_accum, True)
+                else:
+                    pooled = _pool_then_project(
+                        dropout(feats[s]), agg_p["weight"],
+                        agg_p["bias"], lvl[t], cfg.agg_accum,
+                        cfg.agg_ordinal_sharing)
                 pooled = dropout(act(pooled))  # agg_act then dropout
                 out_p = layer[f"out_fc_{t}"]
                 h = pooled @ out_p["kernel"] + out_p["bias"]
