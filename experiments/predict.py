@@ -54,6 +54,13 @@ def main():
                         help="allow recommending already-rated items")
     parser.add_argument("--pairs", default=None, type=str,
                         help="comma list of user:item pairs to score")
+    parser.add_argument("--rank_eval", action="store_true",
+                        help="compute HR@K/NDCG@K over the chosen segment "
+                             "(needs the dataset; see stargcn_tpu/ranking.py)")
+    parser.add_argument("--rank_k", default=10, type=int)
+    parser.add_argument("--rank_negatives", default=100, type=int)
+    parser.add_argument("--rank_max_positives", default=None, type=int,
+                        help="subsample the segment's positives (fixed seed)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -63,8 +70,13 @@ def main():
 
     from stargcn_tpu.serve import Predictor, ServingArtifact, export_serving
 
+    data_iter = None
     if args.artifact:
         art = ServingArtifact.load(args.artifact)
+        if args.rank_eval:
+            parser.error("--rank_eval needs the dataset (--cfg/--dataset), "
+                         "not --artifact: negatives must be drawn from the "
+                         "evaluation graph")
     else:
         from experiments.common import build_dataset
         from stargcn_tpu.graph import kernels as gk
@@ -95,6 +107,14 @@ def main():
         if args.save_artifact:
             art.save(args.save_artifact)
             logging.info("artifact written to %s", args.save_artifact)
+
+    if args.rank_eval:
+        from stargcn_tpu.ranking import rank_eval_from_iterator
+        out = rank_eval_from_iterator(
+            art, data_iter, segment=args.segment,
+            num_negatives=args.rank_negatives, k=args.rank_k,
+            max_positives=args.rank_max_positives)
+        print(json.dumps({"mode": "rank_eval", **out}))
 
     pred = Predictor(art)
     if args.pairs:

@@ -53,15 +53,27 @@ class _RankSpaceSampler:
         self.free = (self.width - deg).astype(np.int64)  # non-neighbors/row
 
     def draw(self, rows, rng):
-        """One uniform non-neighbor per row (rows must have free > 0)."""
+        """One uniform non-neighbor per row (rows must have free > 0).
+
+        Vectorised by grouping the draws per distinct row: the rank
+        ``k`` stream is drawn exactly as in the scalar formulation (one
+        uniform per requested draw, in request order), then each row's
+        draws are inverted with ONE batched ``searchsorted`` — so many
+        draws against the same row (the ranking-eval access pattern,
+        ``ranking.py``) cost O(log deg) each with no Python per-draw
+        loop."""
         rows = np.asarray(rows, np.int64)
         k = (rng.random_sample(rows.size) * self.free[rows]).astype(np.int64)
         out = np.empty(rows.size, np.int64)
-        for j, (r, kk) in enumerate(zip(rows, k)):
-            s, e = self.indptr[r], self.indptr[r + 1]
+        uniq, inv = np.unique(rows, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(uniq.size + 1))
+        for t in range(uniq.size):
+            sel = order[bounds[t]:bounds[t + 1]]
+            s, e = self.indptr[uniq[t]], self.indptr[uniq[t] + 1]
             p = self.sorted_cols[s:e]
-            i = np.searchsorted(p - np.arange(p.size), kk, side="right")
-            out[j] = kk + i
+            i = np.searchsorted(p - np.arange(e - s), k[sel], side="right")
+            out[sel] = k[sel] + i
         return out
 
 
