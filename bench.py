@@ -538,8 +538,36 @@ def bench_serving(num_users=70_000, num_items=11_000, mid=64, k=10):
     idx, _ = pred.recommend(qu, k=k, exclude_rated=False)
     t_rec = time.perf_counter() - t0
     assert idx.shape == (16384, k)
+
+    # Ranking-eval throughput (stargcn_tpu/ranking.py): HR@K/NDCG@K
+    # with 100 sampled negatives per positive — negative drawing
+    # (NegEdgeGenerator rank-space inversion, host) + scoring (one
+    # jitted gather+einsum per 4096-positive batch, device) end to end.
+    from stargcn_tpu.data.iterators import NegEdgeGenerator
+    from stargcn_tpu.graph.csr import CSRMat
+    from stargcn_tpu.ranking import rank_eval
+
+    E = 1_000_000
+    r2 = np.random.RandomState(1)
+    keys = np.unique(
+        r2.randint(0, num_users, E).astype(np.int64) * num_items
+        + r2.randint(0, num_items, E))
+    rows, cols = keys // num_items, keys % num_items
+    csr = CSRMat.from_coo(rows, cols, np.ones(rows.size, np.float32),
+                          num_users, num_items)
+    gen = NegEdgeGenerator(np.random.RandomState(2), csr)
+    pu, pi = rows[:8192], cols[:8192]
+    rank_eval(art, pu[:256], pi[:256], gen, num_negatives=100,
+              k=k)  # compile (padded to the same 4096-batch shape)
+    t0 = time.perf_counter()
+    out = rank_eval(art, pu, pi, gen, num_negatives=100, k=k,
+                    rng=np.random.RandomState(3))
+    t_rank = time.perf_counter() - t0
+
     return {"predict_pairs_per_s": round(8192 / t_pred, 1),
             "recommend_users_per_s": round(16384 / t_rec, 1),
+            "rank_eval_positives_per_s": round(8192 / t_rank, 1),
+            "rank_eval_hr_random": round(out["hr"], 4),
             "catalog": num_items, "mid_units": mid, "k": k}
 
 
