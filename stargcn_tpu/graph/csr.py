@@ -207,6 +207,27 @@ class CSRMat:
         return self.end_points.shape[0]
 
     @property
+    def size(self):
+        """Edge count (reference ``graph.py:357-358`` alias of nnz)."""
+        return self.end_points.size
+
+    def to_spy(self):
+        """Export as ``scipy.sparse.csr_matrix`` (reference
+        ``graph.py:325-335``; built fresh, not cached — edits to the
+        returned matrix never alias this object)."""
+        import scipy.sparse as sp
+        return sp.csr_matrix((self.values, self.end_points, self.ind_ptr),
+                             shape=self.shape)
+
+    def save_edges_txt(self, fname):
+        """One ``row_id\\tcol_id\\tvalue`` line per edge (reference
+        ``graph.py:318-323``, same format)."""
+        ids = self.node_pair_ids
+        with open(fname, "w") as f:
+            for r, c, v in zip(ids[0], ids[1], self.values):
+                f.write(f"{r}\t{c}\t{v:g}\n")
+
+    @property
     def row_degrees(self):
         if self._cached_row_degrees is None:
             self._cached_row_degrees = np.ascontiguousarray(
@@ -293,6 +314,12 @@ class CSRMat:
         row_indices = None if row_ids is None else self.row_id_to_ind(row_ids)
         col_indices = None if col_ids is None else self.col_id_to_ind(col_ids)
         return self.submat(row_indices, col_indices)
+
+    def sample_submat_by_id(self, row_ids=None, ncols=5, seed=None):
+        """``sample_submat`` with rows selected by global id (reference
+        ``graph.py:570-597``)."""
+        row_indices = None if row_ids is None else self.row_id_to_ind(row_ids)
+        return self.sample_submat(row_indices, ncols=ncols, seed=seed)
 
     def sample_submat(self, row_indices=None, ncols=5, seed=None):
         """Per-row fixed-fanout sampled submatrix (``graph.py:540-568``)."""

@@ -48,6 +48,7 @@ class HeterGraph:
             }
         self.node_ids = {k: np.asarray(v, dtype=np.int32)
                          for k, v in node_ids.items()}
+        self._node_id_rmaps = None
 
     def __getitem__(self, key):
         src, dst = key
@@ -55,6 +56,42 @@ class HeterGraph:
 
     def __contains__(self, key):
         return tuple(key) in self._csr_matrices
+
+    @property
+    def node_names(self):
+        """Node-type names (reference ``graph.py:883-884``)."""
+        return self.features.keys()
+
+    @property
+    def node_id_rmaps(self):
+        """Per-type global-id -> index maps (reference ``graph.py:887``),
+        built lazily from ``node_ids``."""
+        if self._node_id_rmaps is None:
+            from stargcn_tpu.graph.csr import NodeIDRMap
+            self._node_id_rmaps = {k: NodeIDRMap(v)
+                                   for k, v in self.node_ids.items()}
+        return self._node_id_rmaps
+
+    def node_id_to_ind(self, key, node_ids):
+        """Map a type's global ids to row indices (``graph.py:917-918``)."""
+        return self.node_id_rmaps[key][np.asarray(node_ids, np.int32)]
+
+    def features_by_id(self, key, node_ids):
+        """Feature rows of ``key`` selected by global id
+        (``graph.py:865-881``)."""
+        return np.asarray(self.features[key])[self.node_id_to_ind(key,
+                                                                  node_ids)]
+
+    def device_features(self, device=None):
+        """Per-type features as device arrays — the TPU answer to the
+        reference's ``gen_nd_features(ctx)`` (``graph.py:1032-1043``,
+        which copies to an mxnet context): one host->HBM transfer per
+        type, reused across steps."""
+        import jax
+        put = ((lambda x: jax.device_put(x, device)) if device is not None
+               else jax.device_put)
+        return {k: put(np.asarray(v, np.float32))
+                for k, v in self.features.items()}
 
     @property
     def edge_pairs(self):

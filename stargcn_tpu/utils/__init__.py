@@ -5,6 +5,7 @@ from stargcn_tpu.utils.config import (
     cfg_from_file,
     default_cfg,
     merge_cfg,
+    load_latest_cfg,
     save_cfg_dir,
     save_cfg_file,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "cfg_from_file",
     "merge_cfg",
     "save_cfg_file",
+    "load_latest_cfg",
     "save_cfg_dir",
     "MetricLogger",
     "logging_config",

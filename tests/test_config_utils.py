@@ -59,6 +59,25 @@ def test_cfg_roundtrip(tmp_path):
     assert loaded.TRAIN.LR == 0.123
 
 
+def test_load_latest_cfg(tmp_path):
+    """Picks the HIGHEST-numbered snapshot (the reference's version
+    crashes on the second snapshot, config.py:99)."""
+    from stargcn_tpu.utils import load_latest_cfg
+
+    cfg = default_cfg()
+    cfg.TRAIN.LR = 0.111
+    save_cfg_dir(str(tmp_path), cfg)
+    cfg.TRAIN.LR = 0.222
+    save_cfg_dir(str(tmp_path), cfg)
+    cfg.TRAIN.LR = 0.333
+    save_cfg_dir(str(tmp_path), cfg)
+    loaded = load_latest_cfg(str(tmp_path))
+    assert loaded.TRAIN.LR == 0.333
+    os.makedirs(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        load_latest_cfg(str(tmp_path / "empty"))
+
+
 def test_metric_logger(tmp_path):
     path = str(tmp_path / "m.csv")
     lg = MetricLogger(["iter", "x"], ["%d", "%.2f"], path)

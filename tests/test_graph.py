@@ -248,3 +248,60 @@ def test_device_graph_pair_lookup_gating(rng):
         rng.randint(0, 100, n), rng.randint(0, 100, n),
         rng.randint(0, 5, n), 100, 100, 5, pad_multiple=64)
     assert small.has_pair_lookup
+
+
+def test_csr_convenience_surface(rng, tmp_path):
+    """to_spy / size / save_edges_txt / sample_submat_by_id — the small
+    reference conveniences (graph.py:318-358, :570-597)."""
+    csr = random_csr(rng)
+    assert csr.size == csr.nnz
+    spy = csr.to_spy()
+    assert spy.shape == csr.shape
+    np.testing.assert_array_equal(spy.indptr, csr.ind_ptr)
+    np.testing.assert_array_equal(spy.indices, csr.end_points)
+    np.testing.assert_allclose(spy.data, csr.values)
+    # round-trips through the constructor it mirrors
+    back = CSRMat.from_spy(spy, multi_link=csr.multi_link)
+    np.testing.assert_array_equal(back.end_points, csr.end_points)
+
+    fname = str(tmp_path / "edges.txt")
+    csr.save_edges_txt(fname)
+    lines = open(fname).read().splitlines()
+    assert len(lines) == csr.nnz
+    r0, c0, v0 = lines[0].split("\t")
+    ids = csr.node_pair_ids
+    assert int(r0) == ids[0][0] and int(c0) == ids[1][0]
+    assert float(v0) == csr.values[0]
+
+    sub_id = csr.sample_submat_by_id(csr.row_ids[[2, 5, 9]], ncols=3,
+                                     seed=7)
+    sub_ind = csr.sample_submat(np.array([2, 5, 9], np.int32), ncols=3,
+                                seed=7)
+    np.testing.assert_array_equal(sub_id.row_ids, sub_ind.row_ids)
+    np.testing.assert_array_equal(sub_id.end_points, sub_ind.end_points)
+
+
+def test_heter_graph_feature_conveniences(rng):
+    """node_names / node_id_rmaps / node_id_to_ind / features_by_id /
+    device_features (reference graph.py:865-918, gen_nd_features
+    :1032-1043)."""
+    csr = random_csr(rng)
+    feats = {"user": rng.normal(size=(20, 3)).astype(np.float32),
+             "movie": rng.normal(size=(15, 4)).astype(np.float32)}
+    g = HeterGraph(features=feats, csr_mat_dict={("user", "movie"): csr})
+    assert set(g.node_names) == {"user", "movie"}
+    ids = np.array([4, 0, 11], np.int32)
+    np.testing.assert_array_equal(g.node_id_to_ind("user", ids), ids)
+    np.testing.assert_allclose(g.features_by_id("movie", ids),
+                               feats["movie"][ids])
+    dev = g.device_features()
+    assert set(dev) == {"user", "movie"}
+    np.testing.assert_allclose(np.asarray(dev["user"]), feats["user"],
+                               rtol=1e-6)
+    # non-identity id space: rmaps must invert correctly
+    sub = g.sel_subgraph_by_id("movie", np.array([3, 7, 9], np.int32))
+    np.testing.assert_array_equal(
+        sub.node_id_to_ind("movie", np.array([7, 3], np.int32)), [1, 0])
+    np.testing.assert_allclose(
+        sub.features_by_id("movie", np.array([9], np.int32)),
+        np.asarray(sub.features["movie"])[[2]])
