@@ -660,7 +660,7 @@ def main():
         traceback.print_exc()
         fullstep = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps({
+    detail = {
         "metric": "train_step_edge_messages_per_s",
         "value": primary,
         "unit": "edge_msgs/s",
@@ -679,6 +679,35 @@ def main():
             "efficiency claim; chunked-ELL (ml10m_ell) is the "
             "bandwidth-honest big-graph path"),
         "scenarios": scenarios,
+    }
+    # Full detail goes to a file (and an EARLY stdout line) so the
+    # driver's stdout-tail capture always receives the compact summary
+    # below as the FINAL line — round 3's final line outgrew the tail
+    # window and the driver recorded `parsed: null`.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    bd = scenarios.get("ml10m_bitdense", {})
+    sm = scenarios.get("ml10m_sampled", {})
+    mw = scenarios.get("mfu_widesweep", {})
+    print(json.dumps({
+        "metric": "train_step_edge_messages_per_s",
+        "value": primary,
+        "unit": "edge_msgs/s",
+        "vs_baseline": round(primary / BASELINE_EDGES_PER_S, 3),
+        "mfu": scenarios["ml100k_devsampler"].get("mfu"),
+        "vs_v100_fullstep_bound": fullstep.get("vs_bound"),
+        "meets_5x_target": fullstep.get("meets_5x_target"),
+        "ml10m_bitdense_M": round(bd.get("edge_msgs_per_s", 0) / 1e6, 1),
+        "ml10m_bitdense_vs_v100_fullstep": bd.get("vs_v100_fullstep_bound"),
+        "ml10m_sampled_step_ms": sm.get("step_ms"),
+        "peak_mfu_widesweep": mw.get("best_mfu"),
+        "rank_eval_hr_trained": scenarios.get(
+            "serving", {}).get("rank_eval_hr_trained"),
+        "scenario_file": "BENCH_DETAIL.json",
     }))
 
 

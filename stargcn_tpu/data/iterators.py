@@ -115,8 +115,12 @@ class NegEdgeGenerator:
                                 p=self._row_weights).astype(np.int64)
         return rows, self._by_row.draw(rows, self._rng)
 
-    def sample_cols_for_rows(self, rows):
-        return self._by_row.draw(rows, self._rng)
+    def sample_cols_for_rows(self, rows, rng=None):
+        """One uniform non-neighbor column per row.  ``rng`` overrides
+        the construction-time generator so callers (e.g.
+        ``ranking.rank_eval``) can pin the draws independently of how
+        far the shared generator has advanced."""
+        return self._by_row.draw(rows, rng if rng is not None else self._rng)
 
     def sample_rows_for_cols(self, cols):
         return self._by_col.draw(cols, self._rng)

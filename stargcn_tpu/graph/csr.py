@@ -216,8 +216,10 @@ class CSRMat:
         ``graph.py:325-335``; built fresh, not cached — edits to the
         returned matrix never alias this object)."""
         import scipy.sparse as sp
-        return sp.csr_matrix((self.values, self.end_points, self.ind_ptr),
-                             shape=self.shape)
+        # scipy does NOT copy same-dtype arrays, so copy here — otherwise
+        # mutating the returned matrix would silently corrupt this graph.
+        return sp.csr_matrix((self.values.copy(), self.end_points.copy(),
+                              self.ind_ptr.copy()), shape=self.shape)
 
     def save_edges_txt(self, fname):
         """One ``row_id\\tcol_id\\tvalue`` line per edge (reference

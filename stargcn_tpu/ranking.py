@@ -86,10 +86,16 @@ def rank_eval(artifact, user_inds, item_inds, neg_gen: NegEdgeGenerator,
     ii = np.ascontiguousarray(np.asarray(item_inds, np.int64))
     assert uu.shape == ii.shape and uu.ndim == 1
     P = uu.size
+    if P == 0:
+        raise ValueError(
+            "rank_eval got zero positives (empty eval segment, or "
+            "max_positives filtered everything)")
     # (P, N) negatives: N independent per-user draws (with replacement
-    # across draws, never an edge)
+    # across draws, never an edge).  ``rng`` is passed through so the
+    # draws do not depend on how far neg_gen's own generator has
+    # advanced (e.g. a warm-up call before a timed one).
     neg = neg_gen.sample_cols_for_rows(
-        np.repeat(uu, num_negatives)).reshape(P, num_negatives)
+        np.repeat(uu, num_negatives), rng=rng).reshape(P, num_negatives)
     cand = np.concatenate([ii[:, None], neg], axis=1).astype(np.int32)
 
     U = jnp.asarray(np.asarray(artifact.user_feats, np.float32))
@@ -121,6 +127,9 @@ def rank_eval_from_iterator(artifact, data_iter, *, segment: str = "test",
     sampled negative is never a train/valid/test edge) and converts the
     segment's global node-pair ids to index space.
     """
+    if segment not in ("test", "valid"):
+        raise ValueError(f"segment must be 'test' or 'valid', got "
+                         f"{segment!r}")
     rng = rng or np.random.RandomState(12345)
     csr = data_iter.all_graph[data_iter.name_user, data_iter.name_item]
     pairs = (data_iter.test_node_pairs if segment == "test"

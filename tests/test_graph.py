@@ -305,3 +305,15 @@ def test_heter_graph_feature_conveniences(rng):
     np.testing.assert_allclose(
         sub.features_by_id("movie", np.array([9], np.int32)),
         np.asarray(sub.features["movie"])[[2]])
+
+
+def test_to_spy_does_not_alias(rng):
+    """ADVICE r3: mutating the exported scipy matrix must not corrupt
+    the CSRMat (scipy.sparse does not copy same-dtype input arrays)."""
+    from stargcn_tpu.data.synthetic import synthetic_graph
+    g = synthetic_graph(num_users=12, num_items=9, num_edges=40, seed=3)
+    m = g["user", "movie"]
+    before = m.values.copy()
+    sp = m.to_spy()
+    sp.data[:] = -999.0
+    np.testing.assert_array_equal(m.values, before)

@@ -154,3 +154,38 @@ def test_predict_cli_rank_eval(tmp_path, capsys, monkeypatch):
     out = ranked[0]
     assert out["num_positives"] == 150 and out["k"] == 5
     assert 0.0 <= out["ndcg"] <= out["hr"] <= 1.0
+
+
+def test_rank_eval_rng_pins_draws_independently(rng):
+    """ADVICE r3: an explicit ``rng`` must make the draws reproducible
+    regardless of how far the generator's own RandomState has advanced
+    (bench warm-up calls before timed calls)."""
+    csr = _graph()
+    nu, ni = csr.shape
+    pi = csr.node_pair_indices
+    uu, ii = np.asarray(pi[0][:30]), np.asarray(pi[1][:30])
+    art = _Art(np.random.RandomState(0).randn(nu, 8),
+               np.random.RandomState(1).randn(ni, 8))
+    gen = NegEdgeGenerator(np.random.RandomState(7), csr)
+    # advance the generator's internal state (simulates a warm-up call)
+    gen.sample_cols_for_rows(uu)
+    a = rank_eval(art, uu, ii, gen, num_negatives=20, k=5,
+                  rng=np.random.RandomState(3))
+    gen.sample_cols_for_rows(uu)  # advance again, differently
+    b = rank_eval(art, uu, ii, gen, num_negatives=20, k=5,
+                  rng=np.random.RandomState(3))
+    assert a == b
+
+
+def test_rank_eval_rejects_empty_and_bad_segment(rng):
+    csr = _graph()
+    art = _Art(np.zeros((csr.shape[0], 4)), np.zeros((csr.shape[1], 4)))
+    gen = NegEdgeGenerator(rng, csr)
+    with pytest.raises(ValueError, match="zero positives"):
+        rank_eval(art, np.empty(0, np.int64), np.empty(0, np.int64), gen)
+
+    class _FakeIter:
+        pass
+
+    with pytest.raises(ValueError, match="segment"):
+        rank_eval_from_iterator(art, _FakeIter(), segment="train")
