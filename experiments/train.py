@@ -68,6 +68,15 @@ def main():
                              "set before JAX import).  Default serial — "
                              "measured faster on few-core hosts")
     parser.add_argument("--prefetch_omp_threads", default=2, type=int)
+    parser.add_argument("--plan_device", action="store_true",
+                        help="sampled mode: build the sampling plan ON "
+                             "DEVICE inside the jitted step (graph/"
+                             "device_sampling.py) — per-step host work "
+                             "and transfer drop to the batch ids + "
+                             "noise.  Neighbor draws use "
+                             "with-replacement fanout sampling (device "
+                             "RNG) instead of the host path's Floyd "
+                             "draws")
     args = parser.parse_args()
 
     if args.prefetch:
@@ -162,7 +171,7 @@ def main():
             model_cfg, data_iter, TrainSettings.from_cfg(cfg),
             fanout=fanout, save_dir=save_dir, save_id=save_id,
             name_user=name_user, name_item=name_item, mesh=mesh,
-            backend=sampled_backend)
+            backend=sampled_backend, plan_device=args.plan_device)
     else:
         trainer = Trainer(model_cfg, data_iter,
                           TrainSettings.from_cfg(cfg),

@@ -58,6 +58,10 @@ class MultiLinkGCNAggregator(nn.Module):
     backend: str = "xla"
     edge_chunk: int | None = None
     dropout_per_edge: bool = False
+    # compute dtype (mixed precision): params stay f32; weight/bias are
+    # cast per-call so the projection matmul runs at the MXU's native
+    # bf16 rate with f32 accumulation.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_src, edge_src, edge_dst, edge_rating, support,
@@ -77,6 +81,10 @@ class MultiLinkGCNAggregator(nn.Module):
             (self.num_links, x_src.shape[-1], link_units))
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_links, link_units))
+        if self.dtype is not None:
+            weight = weight.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x_src = x_src.astype(self.dtype)
 
         if self.dropout_per_edge:
             # Parity-exact granularity (reference aggregators.py:131):

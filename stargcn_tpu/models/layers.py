@@ -153,6 +153,9 @@ class HeterGCNLayer(nn.Module):
     backend: str = "xla"
     edge_chunk: Optional[int] = None
     dropout_per_edge: bool = False
+    # compute dtype for the Denses/aggregator matmuls (mixed precision;
+    # params stay f32 — flax casts both operands per-call)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array],
@@ -177,7 +180,7 @@ class HeterGCNLayer(nn.Module):
                     accum=self.agg_accum, backend=self.backend,
                     edge_chunk=self.edge_chunk,
                     dropout_per_edge=self.dropout_per_edge,
-                    name=f"agg_{t}_{s}")
+                    dtype=self.dtype, name=f"agg_{t}_{s}")
                 pooled.append(dropout(agg(
                     features[s], rel.edge_src, rel.edge_dst,
                     rel.edge_rating, rel.support,
@@ -190,7 +193,7 @@ class HeterGCNLayer(nn.Module):
             if self.accum_self:
                 h = dropout(features[t])
                 h = nn.Dense(out_units[t], kernel_init=xavier_in,
-                             name=f"self_fc_{t}")(h)
+                             dtype=self.dtype, name=f"self_fc_{t}")(h)
                 pooled.append(dropout(h))
             if len(pooled) == 1:
                 acc = pooled[0]
@@ -204,7 +207,7 @@ class HeterGCNLayer(nn.Module):
                 out[t] = acc
                 continue
             h = nn.Dense(out_units[t], kernel_init=xavier_in,
-                         name=f"out_fc_{t}")(acc)
+                         dtype=self.dtype, name=f"out_fc_{t}")(acc)
             out[t] = get_activation(self.out_act)(h)
         return out
 
@@ -245,4 +248,7 @@ class InnerProductLayer(nn.Module):
             mid = nn.Dense(self.mid_units, kernel_init=xavier_in,
                            name="mid_map")
             data1, data2 = mid(data1), mid(data2)
-        return jnp.sum(data1 * data2, axis=-1, keepdims=True)
+        # accumulate the inner product in f32 regardless of the compute
+        # dtype (a bf16 reduction loses rating-scale precision)
+        prod = (data1 * data2).astype(jnp.float32)
+        return jnp.sum(prod, axis=-1, keepdims=True)

@@ -84,6 +84,14 @@ class STARGCNConfig:
     # edge row (aggregators.py:131) instead of per source node.  Quality
     # A/B mode; forces the flat-edge backend (see build_model_config).
     dropout_per_edge: bool = False
+    # Mixed precision: compute dtype for the encoder/decoder matmul path
+    # ('float32' | 'bfloat16').  Parameters and the optimizer state stay
+    # f32; activations and matmul operands run in this dtype with f32
+    # MXU accumulation (preferred_element_type), and the loss heads cast
+    # back to f32.  bf16 doubles the MXU rate and halves activation HBM
+    # traffic — the production setting for throughput runs; RMSE-parity
+    # experiments keep f32.
+    compute_dtype: str = "float32"
     # Noise arrays only ever hold -1 (mask) or the node's own id in every
     # reference experiment (recon sampler: iterators.py:339-358; eval
     # noise: iterators.py:228-236), so the masked embed reduces to an
@@ -285,6 +293,9 @@ class STARGCN(nn.Module):
                         for k in gt_embed}
 
         # ---- blocks ----
+        cdt = jnp.dtype(cfg.compute_dtype)
+        if cdt != jnp.float32:
+            input_feat = {k: v.astype(cdt) for k, v in input_feat.items()}
         layer_cfgs = [
             dict(meta=meta, agg_units=au, out_units=ou,
                  dropout_rate=cfg.gcn_dropout,
@@ -292,7 +303,7 @@ class STARGCN(nn.Module):
                  agg_accum=cfg.agg_accum, agg_act=cfg.activation,
                  out_act=cfg.activation, backend=cfg.backend,
                  edge_chunk=cfg.edge_chunk,
-                 dropout_per_edge=cfg.dropout_per_edge)
+                 dropout_per_edge=cfg.dropout_per_edge, dtype=cdt)
             for au, ou in zip(cfg.agg_units, cfg.out_units)
         ]
         recurrent_depth = (len(cfg.agg_units)
@@ -309,18 +320,18 @@ class STARGCN(nn.Module):
                 recurrent_layer_num=recurrent_depth, name=f"enc_b{p}")
             for p in range(n_param_blocks)]
         user_projs = [nn.Dense(cfg.gen_rating_mid_map,
-                               kernel_init=xavier_in,
+                               kernel_init=xavier_in, dtype=cdt,
                                name=f"rating_user_proj_b{p}")
                       for p in range(n_param_blocks)]
         item_projs = [nn.Dense(cfg.gen_rating_mid_map,
-                               kernel_init=xavier_in,
+                               kernel_init=xavier_in, dtype=cdt,
                                name=f"rating_item_proj_b{p}")
                       for p in range(n_param_blocks)]
         embed_maps = [
             {key: [nn.Dense(out_emb_units, kernel_init=xavier_in,
-                            name=f"embed_map_b{p}_{key}_l0"),
+                            dtype=cdt, name=f"embed_map_b{p}_{key}_l0"),
                    nn.Dense(out_emb_units, kernel_init=xavier_in,
-                            name=f"embed_map_b{p}_{key}_l1")]
+                            dtype=cdt, name=f"embed_map_b{p}_{key}_l1")]
              for key in ("user", "item")}
             for p in range(n_param_blocks)] if cfg.use_dae else []
         # Shared across blocks like the reference's single ``gen_ratings``
@@ -339,7 +350,7 @@ class STARGCN(nn.Module):
             i_rows = jnp.take(output["item"], pairs_item, axis=0)
             score = gen_ratings(user_projs[pidx](u_rows),
                                 item_projs[pidx](i_rows))
-            pred_ratings.append(score[:, 0])
+            pred_ratings.append(score[:, 0].astype(jnp.float32))
 
             # Serving export: the LAST block's projected node states are
             # a complete scoring artifact — gen_ratings is a pure inner

@@ -111,6 +111,7 @@ def build_model_config(cfg, num_users, num_items, num_links,
         bit_impl=cfg.KERNEL.get("BIT_IMPL", "auto"),
         dropout_per_edge=dropout_per_edge,
         self_noise_only=cfg.MODEL.get("SELF_NOISE_ONLY", True),
+        compute_dtype=cfg.MODEL.get("COMPUTE_DTYPE", "float32"),
     )
 
 

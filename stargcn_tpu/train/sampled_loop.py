@@ -55,7 +55,7 @@ class SampledTrainer:
                  save_dir: Optional[str] = None, save_id: int = 0,
                  frontier_caps=None, name_user="user", name_item="movie",
                  backend: str = "xla", cap_slack: float = 1.6,
-                 mesh=None):
+                 mesh=None, plan_device: bool = False):
         assert fanout > 0, "SampledTrainer needs a positive fanout"
         if model_cfg.use_fea_proj and model_cfg.use_dae \
                 and not model_cfg.use_embed:
@@ -169,6 +169,30 @@ class SampledTrainer:
         self._chunk_step = None  # per-k jit cache (train_chunk)
         self._chunk_k = 0
 
+        # ---- device-planned mode: the whole planning phase moves
+        # inside the jitted step (graph/device_sampling.py); the feed
+        # shrinks from ~15 MB of plan arrays to the batch ids + noise.
+        # Training only — evaluation keeps the host-planned path (it
+        # runs on the eval graphs at eval cadence).
+        self.plan_device = bool(plan_device)
+        self._dev_tables = None
+        if self.plan_device:
+            from stargcn_tpu.graph.device_sampling import DeviceGraphTables
+            if backend == "pallas":
+                raise NotImplementedError(
+                    "plan_device pairs with the XLA sampled backend")
+            self._dev_tables = DeviceGraphTables.build(
+                data_iter.train_graph, name_user, name_item)
+            # REMOVE_RATING per-node batch-edge bound (device planner;
+            # grows on overflow like the frontier caps)
+            self.exclude_cap = 16
+            # (caps, spec) are static; tables/feed are device buffers
+            self._train_step_dev = jax.jit(
+                partial(_sampled_train_step_dev, self),
+                static_argnums=(0, 6), donate_argnums=(1, 2))
+            self._chunk_step_dev = None
+            self._chunk_k_dev = 0
+
     # ------------------------------ setup -----------------------------------
 
     def _probe_caps(self, slack: float):
@@ -256,7 +280,10 @@ class SampledTrainer:
     def _make_batch(self, rating_sampler, recon_sampler):
         """Host-only batch construction (runs in the prefetch thread; NO
         device ops here — device transfers from a non-main thread
-        serialize pathologically on some runtimes)."""
+        serialize pathologically on some runtimes).
+
+        In ``plan_device`` mode this stops at the raw draws (pairs +
+        noise + recon ids) — planning happens inside the jitted step."""
         pairs, gt = next(rating_sampler)
         n = gt.size
         B = self.train_batch_pad
@@ -278,6 +305,13 @@ class SampledTrainer:
         if noise_u is None:
             noise_u = np.arange(self.model_cfg.num_users, dtype=np.int32)
             noise_i = np.arange(self.model_cfg.num_items, dtype=np.int32)
+        if self.plan_device:
+            ru = kw.get("recon_user_ids", np.zeros(0, np.int32))
+            ri = kw.get("recon_item_ids", np.zeros(0, np.int32))
+            return {"bu": bu, "bi": bi, "gt": gt_pad, "valid": valid,
+                    "noise_u": noise_u, "noise_i": noise_i,
+                    "recon_u": np.asarray(ru, np.int32),
+                    "recon_i": np.asarray(ri, np.int32)}
         exclude = (pairs[0], pairs[1]) if self.do_remove else None
         plan = StackedPlan.build(
             self.data_iter.train_graph, self.model_cfg, bu[:n], bi[:n],
@@ -288,6 +322,8 @@ class SampledTrainer:
     # ------------------------------ driving ----------------------------------
 
     def _pack_batch(self, batch):
+        if self.plan_device:
+            return pack_tree(batch)
         plan, (bu, bi), gt, valid, noise_u, noise_i = batch
         ht = plan.as_host_tree()
         # Replace the plan's (unpadded, variable-length) pairs_pos with
@@ -361,6 +397,13 @@ class SampledTrainer:
         self._rng_key, step_key = jax.random.split(self._rng_key)
         ibuf, fbuf, spec = self._pack_batch(batch)
         ibuf, fbuf = self._place_feed(ibuf, fbuf)
+        if self.plan_device:
+            caps = (self.caps["user"], self.caps["item"],
+                    self.exclude_cap)
+            self.params, self.opt_state, stats = self._train_step_dev(
+                caps, self.params, self.opt_state, self._dev_tables,
+                ibuf, fbuf, spec, step_key)
+            return stats
         self.params, self.opt_state, stats = self._train_step(
             self.params, self.opt_state, ibuf, fbuf, spec, step_key)
         return stats
@@ -374,6 +417,25 @@ class SampledTrainer:
         k = len(batches)
         packed = [self._pack_batch(b) for b in batches]
         spec = packed[-1][2]
+        if self.plan_device:
+            ibufs = np.stack([p[0] for p in packed])
+            fbufs = np.stack([p[1] for p in packed])
+            keys = []
+            for _ in range(k):
+                self._rng_key, sk = jax.random.split(self._rng_key)
+                keys.append(sk)
+            if self._chunk_step_dev is None or self._chunk_k_dev != k:
+                self._chunk_k_dev = k
+                self._chunk_step_dev = jax.jit(
+                    partial(_sampled_train_chunk_dev, self),
+                    static_argnums=(0, 6), donate_argnums=(1, 2))
+            ibufs, fbufs = self._place_feed(ibufs, fbufs, chunked=True)
+            caps = (self.caps["user"], self.caps["item"],
+                    self.exclude_cap)
+            self.params, self.opt_state, stats = self._chunk_step_dev(
+                caps, self.params, self.opt_state, self._dev_tables,
+                ibufs, fbufs, spec, jnp.stack(keys))
+            return stats
         if any(p[2] != spec for p in packed[:-1]):
             # Caps grew while the chunk was being built (overflow
             # recovery): re-plan the stale batches under the new caps so
@@ -546,6 +608,29 @@ class SampledTrainer:
                     # chunked stats carry a leading k axis; reshape makes
                     # the reduction uniform across k == 1 and k > 1
                     fetched = jax.device_get(pending)
+                    if self.plan_device:
+                        # device-planned overflow recovery: rejected
+                        # (no-op) steps reported their needed frontier
+                        # sizes; grow caps here (one recompile) and
+                        # training continues — the async-dispatch
+                        # analogue of the host path's FrontierCapError.
+                        n_over = sum(int(np.asarray(f["overflow"]).sum())
+                                     for f in fetched)
+                        if n_over:
+                            need = {
+                                t: int(max(np.asarray(
+                                    f[f"needed_{t}"]).max()
+                                    for f in fetched))
+                                for t in ("user", "item")}
+                            need_ex = int(max(np.asarray(
+                                f["needed_exclude"]).max()
+                                for f in fetched))
+                            log(f"{n_over} step(s) skipped on frontier-"
+                                f"cap overflow; growing caps to cover "
+                                f"{need} / exclude {need_ex}")
+                            self._grow_caps(need)
+                            if need_ex > self.exclude_cap:
+                                self.exclude_cap = 2 * need_ex
                     sq = sum(np.asarray(f["sq_err"]).reshape(-1, nb).sum(0)
                              for f in fetched)
                     rl = sum(np.asarray(
@@ -700,6 +785,14 @@ def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
     pairs_pos = dplan["pairs_pos"]
     noise_u, noise_i = feed["noise_u"], feed["noise_i"]
     gt_ratings, pairs_valid = feed["gt"], feed["valid"]
+    return _loss_update(trainer, params, opt_state, dplan, pairs_pos,
+                        noise_u, noise_i, gt_ratings, pairs_valid, rng)
+
+
+def _loss_update(trainer, params, opt_state, dplan, pairs_pos, noise_u,
+                 noise_i, gt_ratings, pairs_valid, rng):
+    """Shared loss + Adam update over a plan pytree — the host-planned
+    and device-planned steps differ only in where ``dplan`` came from."""
     cfg = trainer.model_cfg
     s = trainer.s
     mean, std = trainer.rating_mean, trainer.rating_std
@@ -747,6 +840,62 @@ def _sampled_train_chunk(trainer, params, opt_state, ibufs, fbufs, spec,
         p, o = carry
         ib, fb, rng = xs
         p, o, stats = _sampled_train_step(trainer, p, o, ib, fb, spec, rng)
+        return (p, o), stats
+
+    (params, opt_state), stats = jax.lax.scan(
+        step, (params, opt_state), (ibufs, fbufs, keys))
+    return params, opt_state, stats
+
+
+def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
+                            fbuf, spec, rng):
+    """Device-planned step: the ENTIRE planning phase (frontier
+    construction, fanout sampling, dedup, supports, REMOVE_RATING,
+    position maps) runs inside this jit via ``DevicePlanner`` — the feed
+    is just pair ids + noise + recon ids (~0.4 MB vs ~15 MB of host
+    plan at ML-10M).  An overflowed frontier cap rejects the whole
+    update in-program (parameters pass through) and reports the needed
+    sizes in the stats, so the driver can grow caps and recompile
+    without ever training on a truncated plan."""
+    from stargcn_tpu.graph.device_sampling import DevicePlanner
+
+    feed = unpack_tree(ibuf, fbuf, spec)
+    bu_ind = jnp.take(tab.id2ind["user"], feed["bu"])
+    bi_ind = jnp.take(tab.id2ind["item"], feed["bi"])
+    rng, plan_key = jax.random.split(rng)
+    planner = DevicePlanner(
+        trainer.model_cfg, {"user": caps[0], "item": caps[1]},
+        trainer.fanout, symm=trainer.model_cfg.agg_norm_symm,
+        exclude_cap=caps[2])
+    dplan, pairs_pos, aux = planner.build(
+        tab, plan_key, bu_ind, bi_ind, feed["valid"],
+        feed["recon_u"], feed["recon_i"], exclude=trainer.do_remove)
+    new_params, new_opt, stats = _loss_update(
+        trainer, params, opt_state, dplan, pairs_pos, feed["noise_u"],
+        feed["noise_i"], feed["gt"], feed["valid"], rng)
+    keep = jnp.logical_not(aux["overflow"])
+    params = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
+                          new_params, params)
+    opt_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
+                             new_opt, opt_state)
+    # zero the contribution of a rejected step so the driver's logging
+    # sums stay clean (loss stays reported for visibility)
+    for k in ("sq_err", "rating_loss", "recon_loss", "gnorm"):
+        stats[k] = stats[k] * keep.astype(stats[k].dtype)
+    stats["overflow"] = aux["overflow"]
+    stats["needed_user"] = aux["needed_user"]
+    stats["needed_item"] = aux["needed_item"]
+    stats["needed_exclude"] = aux["needed_exclude"]
+    return params, opt_state, stats
+
+
+def _sampled_train_chunk_dev(trainer, caps, params, opt_state, tab, ibufs,
+                             fbufs, spec, keys):
+    def step(carry, xs):
+        p, o = carry
+        ib, fb, rng = xs
+        p, o, stats = _sampled_train_step_dev(trainer, caps, p, o, tab,
+                                              ib, fb, spec, rng)
         return (p, o), stats
 
     (params, opt_state), stats = jax.lax.scan(

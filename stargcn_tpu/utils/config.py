@@ -72,6 +72,10 @@ def default_cfg() -> EasyDict:
     # TPU-framework extension: noise arrays hold only {-1, self} (true
     # for every reference experiment) -> scatter-free embedding masking
     cfg.MODEL.SELF_NOISE_ONLY = True
+    # TPU-framework extension: mixed precision — 'bfloat16' runs the
+    # encoder/decoder matmul path at the MXU's native rate with f32
+    # params/accumulation (models/stargcn.py COMPUTE_DTYPE).
+    cfg.MODEL.COMPUTE_DTYPE = "float32"
 
     cfg.GRAPH_SAMPLER = EasyDict()
     cfg.GRAPH_SAMPLER.NUM_NEIGHBORS = -1

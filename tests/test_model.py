@@ -356,3 +356,34 @@ def test_gcn_aggregator_single_link(rng):
     out = agg.apply({"params": params}, x, es, ed, sup, n_d, train=False)
     assert out.shape == (n_d, 4)
     assert np.all(out >= 0)  # relu
+
+
+def test_bfloat16_compute_dtype(small_setup):
+    """Mixed precision (MODEL.COMPUTE_DTYPE): bf16 compute with f32
+    params tracks the f32 forward within bf16 tolerance, emits f32
+    predictions, and keeps f32 parameter gradients."""
+    import dataclasses
+
+    g, csr, gd, cfg0, model0, params, pu, pi, nu, ni = small_setup
+    cfg = dataclasses.replace(cfg0, compute_dtype="bfloat16")
+    model = STARGCN(cfg)
+    f32 = model0.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                       pu, pi, train=False)
+    b16 = model.apply({"params": params}, gd, gd.edge_pad_mask, nu, ni,
+                      pu, pi, train=False)
+    assert b16["pred_ratings"].dtype == jnp.float32
+    scale = float(np.abs(np.asarray(f32["pred_ratings"])).max())
+    np.testing.assert_allclose(np.asarray(b16["pred_ratings"]),
+                               np.asarray(f32["pred_ratings"]),
+                               atol=0.05 * max(scale, 1.0))
+
+    def loss(p):
+        out = model.apply({"params": p}, gd, gd.edge_pad_mask, nu, ni,
+                          pu, pi, train=False)
+        return jnp.sum(out["pred_ratings"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(g.dtype == jnp.float32 for g in flat)
+    assert all(bool(jnp.isfinite(g).all()) for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)

@@ -36,5 +36,6 @@ def test_pallas_kernels_on_hardware_tolerance():
         f"no accelerator visible to the subprocess: {out}")
     # bf16 multiply tolerance on the MXU path (measured rel ~3-4e-3 on
     # v5e; 2e-2 leaves headroom without masking a broken kernel)
-    for key in ("spmm_fwd", "spmm_dvalues", "sddmm", "spmm_transpose"):
+    for key in ("spmm_fwd", "spmm_dvalues", "sddmm", "spmm_transpose",
+                "bitdense_fwd", "bitdense_dvalues"):
         assert out[key]["rel"] < 2e-2, (key, out)
