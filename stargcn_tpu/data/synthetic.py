@@ -216,3 +216,73 @@ def write_ml100k_format(dirname, num_users=50, num_items=30, num_edges=1200,
             for j in sel:
                 f.write(f"{users2[j] + 1}\t{items2[j] + 1}\t"
                         f"{int(vals2[j])}\t{ts}\n")
+
+
+def synthetic_structured_graph(num_users=943, num_items=1682,
+                               num_edges=100_000, groups=8,
+                               in_group_p=0.85, seed=0, feat_dim=8):
+    """A rating graph with PLANTED affinity structure.
+
+    Users and items carry latent groups; ``in_group_p`` of the edges
+    connect matching groups, and in-group edges rate {4, 5} while
+    out-group ones rate {1, 2}.  A model trained on the ratings can
+    therefore learn the affinity that generated the EDGES — which is
+    what sampled-candidate ranking (``stargcn_tpu/ranking.py``)
+    measures — unlike :func:`synthetic_graph`, whose edge placement is
+    independent of its ratings (there, held-out positives are
+    statistically identical to non-edges and NO trained model can beat
+    chance)."""
+    rng = np.random.RandomState(seed)
+    gu = rng.randint(0, groups, num_users)
+    gi = rng.randint(0, groups, num_items)
+    users = np.empty(0, np.int64)
+    items = np.empty(0, np.int64)
+    target = min(num_edges, num_users * num_items // 3)
+    items_by_group = [np.nonzero(gi == g)[0] for g in range(groups)]
+    while users.size < target:
+        n = (target - users.size) * 2 + 64
+        u = rng.randint(0, num_users, n)
+        in_g = rng.uniform(size=n) < in_group_p
+        i = rng.randint(0, num_items, n)
+        # redirect in-group draws to an item of the user's group
+        for g in range(groups):
+            sel = in_g & (gu[u] == g)
+            pool = items_by_group[g]
+            if pool.size:
+                i[sel] = pool[rng.randint(0, pool.size, int(sel.sum()))]
+        keys = np.unique(u.astype(np.int64) * num_items + i)
+        both = np.unique(np.concatenate(
+            [users * num_items + items, keys]))
+        both = rng.permutation(both)[:target]
+        users, items = both // num_items, both % num_items
+    in_group = gu[users] == gi[items]
+    vals = np.where(in_group, rng.choice([4.0, 5.0], users.size),
+                    rng.choice([1.0, 2.0], users.size)).astype(np.float32)
+    # coverage: every node needs >= 1 edge
+    have_u = np.zeros(num_users, bool)
+    have_u[users] = True
+    have_i = np.zeros(num_items, bool)
+    have_i[items] = True
+    extra_u = np.nonzero(~have_u)[0]
+    extra_i = np.nonzero(~have_i)[0]
+    users = np.concatenate(
+        [users, extra_u, rng.randint(0, num_users, extra_i.size)])
+    items = np.concatenate(
+        [items, rng.randint(0, num_items, extra_u.size), extra_i])
+    vals = np.concatenate(
+        [vals, rng.choice([1.0, 2.0, 3.0, 4.0, 5.0],
+                          extra_u.size + extra_i.size)]).astype(np.float32)
+    keys = users.astype(np.int64) * num_items + items
+    _, first = np.unique(keys, return_index=True)
+    first = np.sort(first)
+    users, items, vals = users[first], items[first], vals[first]
+    csr = CSRMat.from_coo(users.astype(np.int32), items.astype(np.int32),
+                          vals, num_users, num_items,
+                          multi_link=np.array([1, 2, 3, 4, 5], np.float32))
+    return HeterGraph(
+        features={
+            "user": rng.normal(size=(num_users, feat_dim)).astype(np.float32),
+            "movie": rng.normal(
+                size=(num_items, feat_dim)).astype(np.float32),
+        },
+        csr_mat_dict={("user", "movie"): csr})

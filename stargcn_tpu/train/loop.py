@@ -486,9 +486,11 @@ class Trainer:
         if not self.model_cfg.use_fea_proj:
             return None, None
         if self._features_cache is None:
-            g = self.data_iter.all_graph
-            self._features_cache = (jnp.asarray(g.features["user"]),
-                                    jnp.asarray(g.features["movie"]))
+            # one host->HBM transfer per type, reused across steps —
+            # HeterGraph.device_features is the reference's
+            # gen_nd_features(ctx) analogue (graph.py:1032-1043)
+            dev = self.data_iter.all_graph.device_features()
+            self._features_cache = (dev["user"], dev["movie"])
         return self._features_cache
 
     def host_edge_lookup(self, pu, pi, valid):

@@ -184,8 +184,20 @@ class SampledTrainer:
             self._dev_tables = DeviceGraphTables.build(
                 data_iter.train_graph, name_user, name_item)
             # REMOVE_RATING per-node batch-edge bound (device planner;
-            # grows on overflow like the frontier caps)
-            self.exclude_cap = 16
+            # grows on overflow like the frontier caps).  Probed from a
+            # few real batches: a POPULAR node's multiplicity in a
+            # uniform edge batch scales with its degree share (an item
+            # with 0.5% of ML-10M's edges appears ~20x in a 4096
+            # batch), so a fixed small bound would reject every step.
+            mult = 4
+            rs_probe = data_iter.rating_sampler(
+                batch_size=self.train_batch, segment="train")
+            for _ in range(3):
+                pairs, _ = next(rs_probe)
+                for arr in pairs:
+                    mult = max(mult, int(np.bincount(
+                        np.asarray(arr, np.int64)).max()))
+            self.exclude_cap = _round_up(2 * mult, 16)
             # (caps, spec) are static; tables/feed are device buffers
             self._train_step_dev = jax.jit(
                 partial(_sampled_train_step_dev, self),

@@ -269,3 +269,20 @@ class TestGlove:
                                    rtol=1e-5)
         years = feats[:, self.DIM]
         assert np.all((years >= 0.0) & (years <= 0.5))
+
+
+def test_synthetic_structured_graph_plants_affinity():
+    """The structured fixture must carry the signal ranking measures:
+    in-group edges rate {4,5}, out-group {1,2}, full node coverage."""
+    from stargcn_tpu.data.synthetic import synthetic_structured_graph
+
+    g = synthetic_structured_graph(num_users=120, num_items=90,
+                                   num_edges=2500, groups=4, seed=3)
+    csr = g["user", "movie"]
+    assert csr.shape == (120, 90)
+    deg_u = np.diff(csr.ind_ptr)
+    assert (deg_u > 0).all()
+    assert (np.diff(csr.T.ind_ptr) > 0).all()
+    vals = np.bincount(csr.values.astype(int), minlength=6)
+    # bimodal ratings: high levels dominate (in-group majority)
+    assert vals[4] + vals[5] > vals[1] + vals[2] > 0
