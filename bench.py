@@ -567,8 +567,10 @@ def bench_mfu_widesweep():
         cfg.GCN.OUT.UNITS = [out]
         cfg.GCN.DROPOUT = 0.3
         cfg.KERNEL.BACKEND = "ell"
+        cfg.KERNEL.ELL_K = 16
         cfg.MODEL.COMPUTE_DTYPE = "bfloat16"
         cfg.TRAIN.RATING_BATCH_SIZE = 4096
+        cfg.TRAIN.LR = 5e-4  # wide layers diverge at the default 2e-3
         model_cfg = build_model_config(cfg, NU, NI, 10,
                                        num_edges=csr.nnz)
         trainer = Trainer(model_cfg, it, TrainSettings.from_cfg(cfg))

@@ -170,6 +170,31 @@ def main():
                both16, argnums=(0, 1))(xi, xu, qa, qb)[0],
            x_i, x_u, pa, pb)
 
+    # ---- per-resource roofline floors (VERDICT r4 ask: name the
+    # binding constraint of the ~2x gap to the bf16 matmul floor)
+    # MXU floor: one dense bf16 matmul with K1's exact MAC count,
+    # (R*D_pad, S_pad) @ (S_pad, F) — what the pass would cost if the
+    # adjacency were a free bf16 operand already sitting in HBM.
+    au = jnp.ones((R * u_pad, i_pad), jnp.bfloat16)
+    bi_ = jnp.ones((i_pad, F), jnp.bfloat16)
+    timeit("bf16 MXU floor (dst=user MACs)",
+           lambda a, b: (a @ b), au, bi_)
+    ai = jnp.ones((R * i_pad, u_pad), jnp.bfloat16)
+    bu_ = jnp.ones((u_pad, F), jnp.bfloat16)
+    timeit("bf16 MXU floor (dst=item MACs)",
+           lambda a, b: (a @ b), ai, bu_)
+    # HBM floor: the packed planes are the dominant HBM stream —
+    # streaming P_A + P_B once is the unavoidable traffic per pass.
+    timeit("HBM floor (stream both packs)",
+           lambda p, q: (jnp.sum(p, dtype=jnp.int32)
+                         + jnp.sum(q, dtype=jnp.int32)), pa, pb)
+    mxu_macs = R * (u_pad * i_pad) * F * 2
+    print(f"pass MACs {mxu_macs/1e12:.2f} TFLOP; pack bytes "
+          f"{(pa.size + pb.size)/1e6:.0f} MB; bf16-operand equivalent "
+          f"{(R*u_pad*i_pad + R*i_pad*u_pad)*2/1e9:.1f} GB (the 16x "
+          f"compression is what makes the dense formulation feasible)",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stargcn_tpu.ops.gather import take_rows
+
 from stargcn_tpu.graph import kernels as K
 from stargcn_tpu.graph.sampling import BlockSampler, SampledBlocks
 from stargcn_tpu.models.common import get_activation
@@ -489,10 +491,12 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                 new_feats[t] = _constrain(act(h), row_sharding)  # out_act
             feats = new_feats
 
-        # rating head
+        # rating head (take_rows: scatter-free gradient — the plain
+        # take's backward scatter-add serializes at ~5 us/row on this
+        # TPU runtime; ops/gather.py)
         pp = plan["pairs_pos"][block_id]
-        u_rows = jnp.take(feats["user"], pp["user"], axis=0)
-        i_rows = jnp.take(feats["item"], pp["item"], axis=0)
+        u_rows = take_rows(feats["user"], pp["user"])
+        i_rows = take_rows(feats["item"], pp["item"])
         up = params[f"rating_user_proj_b{pidx}"]
         ip = params[f"rating_item_proj_b{pidx}"]
         u_rows = u_rows @ up["kernel"] + up["bias"]
@@ -508,7 +512,7 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                 mapped[t] = h @ l1["kernel"] + l1["bias"]
             rp = plan["recon_pos"][block_id]
             pred_embed.append({
-                t: jnp.take(mapped[t], rp[t][0], axis=0)
+                t: take_rows(mapped[t], rp[t][0])
                 for t in ("user", "item")})
             recon_ok.append({t: rp[t][1] for t in ("user", "item")})
             prev_top_feats = mapped

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from stargcn_tpu.graph.device import BipartiteGraphData
 from stargcn_tpu.models.common import get_activation, uniform_sym, xavier_in
+from stargcn_tpu.ops.gather import take_rows
 from stargcn_tpu.models.layers import (
     InnerProductLayer,
     Relation,
@@ -345,9 +346,13 @@ class STARGCN(nn.Module):
             pidx = 0 if cfg.use_recurrent else block_id
             output = encoders[pidx](feats, relations, train=train)
 
-            # rating head (STAR-GCN.py:428-438)
-            u_rows = jnp.take(output["user"], pairs_user, axis=0)
-            i_rows = jnp.take(output["item"], pairs_item, axis=0)
+            # rating head (STAR-GCN.py:428-438).  take_rows: the plain
+            # take's gradient is a scatter-add, which XLA serializes at
+            # ~5 us/row on this TPU runtime (xplane-traced: 4 rating-
+            # head scatters cost 91 of 133 ms/step at wide widths); the
+            # one-hot-matmul backward runs on the MXU instead.
+            u_rows = take_rows(output["user"], pairs_user)
+            i_rows = take_rows(output["item"], pairs_item)
             score = gen_ratings(user_projs[pidx](u_rows),
                                 item_projs[pidx](i_rows))
             pred_ratings.append(score[:, 0].astype(jnp.float32))
