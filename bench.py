@@ -12,10 +12,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
   ml10m_ell      full-graph training steps on an ML-10M-sized graph
                  (69878 x 10677, 10M edges, 10 rating levels) through the
                  chunked-ELL backend (ops/chunked_ell.py)
-  ml10m_sampled  sampled mini-batch mode on the same graph (fanout 8)
+  ml10m_sampled  sampled mini-batch mode on the same graph (fanout 8):
+                 host-unfused / host-fused(scan 5) / device-planned
+                 fused rotate INSIDE each window; headline = fastest
   pallas_ell     the Pallas fixed-fanout ELL SpMM kernel fwd+bwd on
                  hardware (re-validates the custom_vjp path outside the
                  CPU interpret mode the unit tests use)
+  mfu_widesweep  the same model code at growing encoder widths (bf16
+                 compute, bitdense backend) — the compute-bound MFU
+                 demonstration
+  serving        artifact throughput + trained-vs-untrained ranking
+                 separation (HR@10)
 
 Metric: aggregated edge-messages/s through the multi-link graph
 convolution during full training steps (forward + backward + optimizer).
@@ -520,18 +527,20 @@ def bench_ml10m_sampled(iters=8, backend="xla"):
 
 def bench_mfu_widesweep():
     """Compute-bound MFU demonstration (VERDICT r3 missing #4): the SAME
-    model code (chunked-ELL backend — aggregate-raw-then-project, the
-    bandwidth-honest big-graph path) swept over encoder widths with
-    bf16 compute (MODEL.COMPUTE_DTYPE — params/accumulation stay f32).
-    At reference widths (embed 64 / agg 250) the step is memory/
-    latency-bound like every production scenario; at wide settings the
-    per-rating projection GEMMs dominate the useful FLOPs and the MXU
-    engages — the point being that the LOW MFU of the graph-shaped
-    scenarios is a property of their arithmetic intensity, not of the
-    framework's kernel quality.  (The flat-edge XLA backend was tried
-    first and stays memory-bound at every width: its (E, units)
-    scatter-add scales with the output width — recorded in
-    BASELINE.md.)"""
+    model code swept over encoder widths/depths with bf16 compute
+    (MODEL.COMPUTE_DTYPE) on the bitdense backend — the zero-gather
+    formulation whose adjacency passes are MXU work.  At reference
+    widths (embed 64 / agg 250) the step is memory/latency-bound like
+    every production scenario; at wide recurrent settings the
+    projection GEMMs dominate and measured MFU exceeds 30% of bf16
+    peak — the LOW MFU of the graph-shaped scenarios is a property of
+    their arithmetic intensity, not of the framework's kernels.
+
+    The sweep also encodes two measured TPU lessons (BASELINE.md):
+    per-edge-row gathers cost ~0.17 us/row regardless of row width
+    (the ELL backend plateaus at ~4% MFU at ANY width), and XLA
+    scatter-adds serialize per row (REMOVE_RATING corrections are
+    one-hot MXU contractions now — ops/gather.py)."""
     import jax
     import numpy as np
 
@@ -540,10 +549,10 @@ def bench_mfu_widesweep():
     from stargcn_tpu.train import Trainer, build_model_config
     from stargcn_tpu.train.loop import TrainSettings
     from stargcn_tpu.utils import default_cfg
-    from stargcn_tpu.utils.flops import stargcn_step_flops
+    from stargcn_tpu.utils.flops import V5E_PEAK_FLOPS, stargcn_step_flops
 
-    NU = NI = 4096
-    E = 150_000
+    NU = NI = 2048
+    E = 120_000
     g = synthetic_graph(num_users=NU, num_items=NI, num_edges=E,
                         rating_values=tuple(range(1, 11)), seed=7)
     csr = g["user", "movie"]
@@ -558,16 +567,21 @@ def bench_mfu_widesweep():
 
     sweep = []
     K = 10
-    for embed, agg, out in ((64, 250, 75), (256, 1024, 256),
-                            (512, 2048, 512)):
+    cases = (
+        dict(embed=64, agg=250, out=75, layers=1, recurrent=False),
+        dict(embed=512, agg=2048, out=512, layers=1, recurrent=False),
+        dict(embed=1024, agg=4096, out=1024, layers=3, recurrent=True),
+    )
+    for case in cases:
         cfg = default_cfg()
-        cfg.EMBED.UNITS = embed
-        cfg.GCN.AGG.UNITS = [agg]
+        cfg.EMBED.UNITS = case["embed"]
+        cfg.GCN.AGG.UNITS = [case["agg"]] * case["layers"]
         cfg.GCN.AGG.ACCUM = "sum"
-        cfg.GCN.OUT.UNITS = [out]
+        cfg.GCN.OUT.UNITS = [case["out"]] * case["layers"]
+        cfg.GCN.USE_RECURRENT = case["layers"] > 1
+        cfg.MODEL.USE_RECURRENT = case["recurrent"]
         cfg.GCN.DROPOUT = 0.3
-        cfg.KERNEL.BACKEND = "ell"
-        cfg.KERNEL.ELL_K = 16
+        cfg.KERNEL.BACKEND = "bitdense"
         cfg.MODEL.COMPUTE_DTYPE = "bfloat16"
         cfg.TRAIN.RATING_BATCH_SIZE = 4096
         cfg.TRAIN.LR = 5e-4  # wide layers diverge at the default 2e-3
@@ -601,12 +615,10 @@ def bench_mfu_widesweep():
         E_act = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
         f = stargcn_step_flops(model_cfg, E_act, trainer.train_batch)
         sweep.append({
-            "embed": embed, "agg": agg, "out": out,
+            **{k: case[k] for k in ("embed", "agg", "out", "layers")},
             "step_ms": round(dt * 1e3, 2),
             "useful_tflops_per_s": round(f["step"] / dt / 1e12, 2),
-            **{k: v for k, v in _mfu_fields(
-                model_cfg, E_act, trainer.train_batch, dt).items()
-               if k == "mfu"},
+            "mfu": round(f["step"] / dt / V5E_PEAK_FLOPS, 4),
             "loss_finite": bool(np.isfinite(
                 float(np.asarray(stats["loss"]).reshape(-1)[-1]))),
         })
@@ -614,11 +626,12 @@ def bench_mfu_widesweep():
 
     best = max(sweep, key=lambda r: r["mfu"])
     return {"sweep": sweep, "best_mfu": best["mfu"],
-            "best_width": f"embed{best['embed']}_agg{best['agg']}",
-            "compute_dtype": "bfloat16",
-            "note": ("same model code as every scenario; width is the "
-                     "only variable — MFU is arithmetic-intensity-"
-                     "bound, not kernel-bound")}
+            "best_width": f"embed{best['embed']}_agg{best['agg']}"
+                          f"_L{best['layers']}",
+            "compute_dtype": "bfloat16", "backend": "bitdense",
+            "note": ("same model code as every scenario; width/depth "
+                     "are the only variables — MFU is arithmetic-"
+                     "intensity-bound, not kernel-bound")}
 
 
 def bench_pallas_ell(D=8192, S=8192, K=8, F=256):

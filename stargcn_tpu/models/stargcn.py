@@ -176,10 +176,11 @@ class STARGCN(nn.Module):
             deg_u, deg_i = variant_degrees
             if removed_info is not None:
                 pu, pi, hit, _ = removed_info
-                deg_u = deg_u - jax.ops.segment_sum(
-                    hit, pu, num_segments=graph.num_users)
-                deg_i = deg_i - jax.ops.segment_sum(
-                    hit, pi, num_segments=graph.num_items)
+                from stargcn_tpu.ops.gather import onehot_segment_sum
+                deg_u = deg_u - onehot_segment_sum(
+                    hit, pu, graph.num_users)
+                deg_i = deg_i - onehot_segment_sum(
+                    hit, pi, graph.num_items)
         else:
             mask = edge_mask * graph.edge_pad_mask
             deg_u, deg_i = masked_degrees(

@@ -237,13 +237,18 @@ def removed_edges_correction(
 
     Returns ``(num_dst, R, U)``.
     """
+    from stargcn_tpu.ops.gather import onehot_segment_sum
+
     num_links, num_src, units = proj.shape
     flat = proj.reshape(num_links * num_src, units)
     gathered = jnp.take(flat, rem_rating * num_src + rem_src, axis=0)
     seg = rem_dst * num_links + rem_rating
-    return jax.ops.segment_sum(
+    # one-hot contraction, not segment_sum: XLA's scatter-add
+    # serializes per row on this TPU runtime (~19 ms for a 4096-row
+    # correction vs ~3 ms as MXU dots — ops/gather.py)
+    return onehot_segment_sum(
         gathered * rem_weight[:, None], seg,
-        num_segments=num_dst * num_links).reshape(num_dst, num_links, units)
+        num_dst * num_links).reshape(num_dst, num_links, units)
 
 
 def build_dense_adjacency(

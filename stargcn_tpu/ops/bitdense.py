@@ -314,6 +314,17 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
+
+def _fit_bm(bm: int, f: int, d8: int) -> int:
+    """Shrink the row-block so the kernel's f32 accumulator (8, bm, f)
+    plus its output block stay under scoped VMEM (~2 MB each): wide
+    feature dims (mixed-precision widesweep, F > 512) overflow the
+    16 MB scoped budget at the default bm=128."""
+    while bm > 16 and (8 * bm * f * 4 > (2 << 20) or d8 % bm):
+        bm //= 2
+    return bm
+
+
 def bit_expand_matmul(P, x, num_links, d8, *, bm=_BM, bs=_BS,
                       interpret=False):
     """``out[r, b, m, f] = sum_s bit_b(P[r*d8+m, s]) x[s, f]``.
@@ -326,6 +337,7 @@ def bit_expand_matmul(P, x, num_links, d8, *, bm=_BM, bs=_BS,
     """
     m8, s_pad = P.shape
     f = x.shape[1]
+    bm = _fit_bm(bm, f, d8)
     n_m, n_s = m8 // bm, s_pad // bs
     grid = (n_m, n_s)
     nm_per_r = d8 // bm
@@ -358,6 +370,7 @@ def bit_reduce_matmul(P, g, num_links, d8, *, bm=_BM, bs=_BS,
     """
     m8, s_pad = P.shape
     f = g.shape[-1]
+    bm = _fit_bm(bm, f, d8)
     n_m, n_s = d8 // bm, s_pad // bs
     grid = (n_m, num_links * n_s)
     return pl.pallas_call(
@@ -408,6 +421,7 @@ def bit_reduce_matmul16(P, g, num_links, d8, *, bm=_BM, bs=_BS,
     ``row_interleave=bm``).  Returns ``(8, d8, F)``."""
     m8, s_pad = P.shape
     f = g.shape[-1]
+    bm = _fit_bm(bm, f, d8)
     n_m, n_s = d8 // bm, s_pad // bs
     grid = (n_m, num_links * n_s)
     out = pl.pallas_call(
@@ -550,9 +564,9 @@ def bit_multi_link_aggregate(x, bit_static, weight, bias,
         gathered = jnp.take(x_aug, bs.rem_src, axis=0) \
             * bs.rem_weight[:, None]
         seg = bs.rem_dst * R + bs.rem_rating
-        corr = jax.ops.segment_sum(
-            gathered, seg, num_segments=num_dst * R).reshape(
-                num_dst, R, -1)
+        from stargcn_tpu.ops.gather import onehot_segment_sum
+        corr = onehot_segment_sum(
+            gathered, seg, num_dst * R).reshape(num_dst, R, -1)
         pooled = pooled - corr
     pooled = pooled * bs.dst_scale[:, None, None]
 

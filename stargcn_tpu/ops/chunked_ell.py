@@ -318,9 +318,9 @@ def ell_multi_link_aggregate(x, ell_static, weight, bias,
         gathered = jnp.take(x_aug, es.rem_src, axis=0) \
             * es.rem_weight[:, None]
         seg = es.rem_dst * R + es.rem_rating
-        corr = jax.ops.segment_sum(
-            gathered, seg, num_segments=num_dst * R).reshape(
-                num_dst, R, -1)
+        from stargcn_tpu.ops.gather import onehot_segment_sum
+        corr = onehot_segment_sum(
+            gathered, seg, num_dst * R).reshape(num_dst, R, -1)
         pooled = pooled - corr
     pooled = pooled * es.dst_scale[:, None, None]
 
