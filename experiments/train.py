@@ -163,9 +163,12 @@ def main():
         from stargcn_tpu.train.sampled_loop import SampledTrainer
 
         # Sampled device backend: 'pallas' routes the ELL pooling
-        # through the hand kernels (ops/pallas_kernels.py); anything
-        # else uses the measured XLA formulation.
-        sampled_backend = ("pallas" if cfg.KERNEL.BACKEND == "pallas"
+        # through the hand kernels (ops/pallas_kernels.py); 'auto'
+        # picks by the measured crossover (frontier size x fanout —
+        # resolve_sampled_backend); anything else uses the XLA
+        # formulation.
+        sampled_backend = (cfg.KERNEL.BACKEND
+                          if cfg.KERNEL.BACKEND in ("pallas", "auto")
                           else "xla")
         trainer = SampledTrainer(
             model_cfg, data_iter, TrainSettings.from_cfg(cfg),

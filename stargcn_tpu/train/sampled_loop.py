@@ -43,6 +43,24 @@ def _round_up(n, m):
     return max(m, -(-n // m) * m)
 
 
+def resolve_sampled_backend(backend: str, caps: dict, fanout: int) -> str:
+    """'auto' -> the measured winner for the plan shapes.
+
+    From the round-4 crossover sweep (scripts/sweep_pallas_crossover.py,
+    BASELINE.md): the Pallas fixed-fanout ELL kernels win the forward
+    at MODERATE frontier sizes with wide fanout (best recorded 2.08x at
+    D=8192/K=32/F=256; ~1.2-1.6x across D<=32k, K=32) and lose hard at
+    the ML-10M production shapes (D~87k, K=8: XLA wins 7.5x).  The
+    backward is near-parity in the win region.  Anything outside the
+    measured win region resolves to the XLA formulation."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() != "tpu":
+        return "xla"
+    d_max = max(caps.values()) if caps else 1 << 30
+    return "pallas" if (d_max <= 32768 and 16 <= fanout <= 32) else "xla"
+
+
 class SampledTrainer:
     """Sampled-mode training driver with the ``Trainer`` schedule.
 
@@ -147,6 +165,11 @@ class SampledTrainer:
         for s in self.samplers.values():
             s.frontier_caps = self.caps
         logging.info("sampled frontier caps: %s", self.caps)
+        if self.backend == "auto":
+            self.backend = resolve_sampled_backend("auto", self.caps,
+                                                   fanout)
+            logging.info("sampled backend resolved to %r (caps %s, "
+                         "fanout %d)", self.backend, self.caps, fanout)
 
         self.params = self._init_params()
         if self.shardings is not None:
@@ -178,7 +201,7 @@ class SampledTrainer:
         self._dev_tables = None
         if self.plan_device:
             from stargcn_tpu.graph.device_sampling import DeviceGraphTables
-            if backend == "pallas":
+            if self.backend == "pallas":
                 raise NotImplementedError(
                     "plan_device pairs with the XLA sampled backend")
             self._dev_tables = DeviceGraphTables.build(

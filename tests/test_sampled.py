@@ -363,3 +363,24 @@ def test_sampled_fit_chunked(setup, tmp_path):
     assert np.isfinite(result["best_valid_rmse"])
     assert (tmp_path / "train_loss0.csv").exists()
     assert (tmp_path / "ckpt_last_0.msgpack").exists()
+
+
+def test_auto_backend_resolves_by_measured_crossover():
+    """'auto' picks the Pallas ELL tier only inside the measured win
+    region (BASELINE.md round-4 crossover sweep): moderate frontiers
+    with wide fanout; XLA elsewhere (and always off-TPU)."""
+    from stargcn_tpu.train.sampled_loop import resolve_sampled_backend
+
+    caps_small = {"user": 8192, "item": 4096}
+    caps_big = {"user": 87040, "item": 17408}
+    # this test process is CPU-pinned -> always xla
+    assert resolve_sampled_backend("auto", caps_small, 32) == "xla"
+    assert resolve_sampled_backend("pallas", caps_big, 8) == "pallas"
+    assert resolve_sampled_backend("xla", caps_small, 32) == "xla"
+    # the TPU decision table, unit-tested via the rule's own terms
+    import unittest.mock as mock
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert resolve_sampled_backend("auto", caps_small, 32) == "pallas"
+        assert resolve_sampled_backend("auto", caps_small, 8) == "xla"
+        assert resolve_sampled_backend("auto", caps_big, 32) == "xla"
+        assert resolve_sampled_backend("auto", caps_big, 8) == "xla"
