@@ -31,8 +31,25 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+# Above this many one-hot elements (B * N), the matmul formulation's
+# FLOP/memory overspend stops paying for the scatter it avoids — and at
+# ML-10M full-batch shapes (1e5 x 7e5 segments) XLA additionally
+# materialized the whole chunked one-hot stack at once (140 GB compile
+# OOM).  Callers transparently fall back to the native scatter path.
+ONEHOT_BUDGET = 1 << 32
+
+
 def take_rows(x, idx, bwd_chunk: int = 8192):
+    """Size-gated dispatcher: the one-hot-backward gather for small
+    index products, plain ``jnp.take`` (scatter backward) beyond
+    ``ONEHOT_BUDGET`` one-hot elements."""
+    if x.shape[0] * idx.shape[0] > ONEHOT_BUDGET:
+        return jnp.take(x, idx, axis=0)
+    return _take_rows_mm(x, idx, bwd_chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _take_rows_mm(x, idx, bwd_chunk: int = 8192):
     """``x[idx]`` with a scatter-free (one-hot matmul) gradient.
 
     Args:
@@ -78,7 +95,7 @@ def _take_rows_bwd(bwd_chunk, res, g):
     return dx.astype(dtype), None
 
 
-take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+_take_rows_mm.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3), inline=True)
@@ -102,6 +119,9 @@ def onehot_segment_sum(x, seg, num_segments: int, chunk: int = 8192):
     if squeeze:
         x = x[:, None]
     B, F = x.shape
+    if B * num_segments > ONEHOT_BUDGET:
+        out = jax.ops.segment_sum(x, seg, num_segments=num_segments)
+        return out[:, 0] if squeeze else out
     if num_segments <= chunk:
         onehot = (seg[:, None] == jnp.arange(num_segments,
                                              dtype=seg.dtype)
