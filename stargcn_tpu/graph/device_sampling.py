@@ -78,18 +78,24 @@ class DeviceGraphTables:
     row_ids: Dict[str, jnp.ndarray]      # (n_t,) int32 index -> global id
     id2ind: Dict[str, jnp.ndarray]       # (max_id + 1,) int32 id -> index
 
+    # static per-type flag: row ids ARE 0..n-1 (true for every graph
+    # whose node ids were never remapped) — enables the identity-
+    # frontier shortcuts in the sampled forward
+    ids_iota: tuple = (False, False)
+
     def tree_flatten(self):
         keys = ("ind_ptr", "end_points", "rating_idx", "row_deg",
                 "col_deg", "row_ids", "id2ind")
         leaves = [getattr(self, k)[t] for k in keys
                   for t in ("user", "item")]
-        return leaves, keys
+        return leaves, (keys, self.ids_iota)
 
     @classmethod
-    def tree_unflatten(cls, keys, leaves):
+    def tree_unflatten(cls, aux, leaves):
+        keys, ids_iota = aux
         it = iter(leaves)
         return cls(**{k: {"user": next(it), "item": next(it)}
-                      for k in keys})
+                      for k in keys}, ids_iota=ids_iota)
 
     @property
     def n(self):
@@ -116,7 +122,11 @@ class DeviceGraphTables:
             inv = np.zeros(int(ids.max(initial=0)) + 1, np.int32)
             inv[ids] = np.arange(ids.size, dtype=np.int32)
             out["id2ind"][t] = jnp.asarray(inv)
-        return DeviceGraphTables(**out)
+        iota = tuple(
+            bool((np.asarray(csr[t].row_ids)
+                  == np.arange(csr[t].shape[0])).all())
+            for t in ("user", "item"))
+        return DeviceGraphTables(**out, ids_iota=iota)
 
 
 def _capped_unique(x, cap, n):
@@ -422,5 +432,15 @@ class DevicePlanner:
         aux = {"needed_user": needed["user"],
                "needed_item": needed["item"],
                "needed_exclude": needed_ex,
-               "overflow": overflow}
+               "overflow": overflow,
+               # STATIC (python bools): every frontier of this type is
+               # the full node set in natural order AND node ids are
+               # 0..n-1 — the sampled forward can then read embedding
+               # tables with an elementwise row mask (the full-graph
+               # module's formulation) instead of a gather whose
+               # backward is a serialized n-row scatter, and pass
+               # cross-block features through without a gather.
+               "identity": {t: bool(dense[t]) and bool(
+                   tab.ids_iota[0 if t == "user" else 1])
+                   for t in ("user", "item")}}
         return plan, pairs_pos, aux

@@ -364,7 +364,8 @@ def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
 
 def sampled_forward(params, cfg, plan, noise_user, noise_item,
                     backend: str = "xla", *, train: bool = False,
-                    dropout_rng=None, features=None, row_sharding=None):
+                    dropout_rng=None, features=None, row_sharding=None,
+                    identity_frontiers=None):
     """Bottom-up execution of the stacked plan (``STAR-GCN.py:399-460``).
 
     ``plan`` may be a ``StackedPlan`` (converted on the fly) or the
@@ -412,6 +413,16 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
         keep = jax.random.bernoulli(sub, 1.0 - cfg.gcn_dropout, x.shape)
         return jnp.where(keep, x / (1.0 - cfg.gcn_dropout), 0.0)
 
+    # identity_frontiers[t] (STATIC, device planner dense path): every
+    # frontier of type t is the full node set in id order — embedding
+    # reads become an elementwise row mask (no gather, no scatter
+    # gradient; requires the self-noise invariant) and cross-block
+    # features pass through directly.
+    ident = identity_frontiers or {}
+
+    def _is_ident(t):
+        return bool(ident.get(t)) and cfg.self_noise_only
+
     nblocks = len(plan["blocks"])
     pred_ratings, pred_embed, recon_ok = [], [], []
     gt_embed = {}
@@ -439,20 +450,34 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
             for t in ("user", "item"):
                 parts = []
                 if cfg.use_embed:
-                    parts.append(_masked_embed_rows(table[t], f0[t],
-                                                    noise[t]))
+                    if _is_ident(t):
+                        keep = (noise[t] != -1)
+                        parts.append(table[t]
+                                     * keep[:, None].astype(table[t].dtype))
+                    else:
+                        parts.append(_masked_embed_rows(table[t], f0[t],
+                                                        noise[t]))
                 if cfg.use_fea_proj:
-                    parts.append(_fea_proj_rows(params, t, fea[t],
-                                                f0[t], act))
+                    if _is_ident(t):
+                        l0 = params[f"fea_map_{t}_l0"]
+                        l1 = params[f"fea_map_{t}_l1"]
+                        h = act(fea[t] @ l0["kernel"] + l0["bias"])
+                        parts.append(h @ l1["kernel"] + l1["bias"])
+                    else:
+                        parts.append(_fea_proj_rows(params, t, fea[t],
+                                                    f0[t], act))
                 feats[t] = (parts[0] if len(parts) == 1
                             else jnp.concatenate(parts, axis=-1))
         else:
             cg = plan["cross_gather"][block_id]
             feats = {}
             for t in ("user", "item"):
-                pos, ok = cg[t]
-                feats[t] = (jnp.take(prev_top_feats[t], pos, axis=0)
-                            * ok[:, None])
+                if _is_ident(t):
+                    feats[t] = prev_top_feats[t]
+                else:
+                    pos, ok = cg[t]
+                    feats[t] = (jnp.take(prev_top_feats[t], pos, axis=0)
+                                * ok[:, None])
                 if cfg.use_fea_proj and not cfg.recon_fea:
                     # next-block input = concat(mapped, fea_proj) —
                     # full-graph module (models/stargcn.py) /

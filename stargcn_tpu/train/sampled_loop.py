@@ -804,14 +804,15 @@ def _pairs_positions(plan, bu, bi):
 
 
 def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
-                     *, train, rng=None):
+                     *, train, rng=None, identity=None):
     cfg = trainer.model_cfg
     dplan = dict(dplan)
     dplan["pairs_pos"] = pairs_pos
     return sampled_forward(params, cfg, dplan, noise_u, noise_i,
                            backend=trainer.backend, train=train,
                            dropout_rng=rng, features=trainer._fea,
-                           row_sharding=trainer._row_shard)
+                           row_sharding=trainer._row_shard,
+                           identity_frontiers=identity)
 
 
 def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
@@ -825,7 +826,7 @@ def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
 
 
 def _loss_update(trainer, params, opt_state, dplan, pairs_pos, noise_u,
-                 noise_i, gt_ratings, pairs_valid, rng):
+                 noise_i, gt_ratings, pairs_valid, rng, identity=None):
     """Shared loss + Adam update over a plan pytree — the host-planned
     and device-planned steps differ only in where ``dplan`` came from."""
     cfg = trainer.model_cfg
@@ -835,7 +836,8 @@ def _loss_update(trainer, params, opt_state, dplan, pairs_pos, noise_u,
 
     def loss_fn(p):
         out = _sampled_outputs(trainer, p, dplan, pairs_pos, noise_u,
-                               noise_i, train=True, rng=rng)
+                               noise_i, train=True, rng=rng,
+                               identity=identity)
         target = (gt_ratings - mean) / std
         sq = (out["pred_ratings"] - target[None, :]) ** 2
         rating_loss = 0.5 * jnp.sum(sq * pairs_valid[None, :],
@@ -907,7 +909,8 @@ def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
         feed["recon_u"], feed["recon_i"], exclude=trainer.do_remove)
     new_params, new_opt, stats = _loss_update(
         trainer, params, opt_state, dplan, pairs_pos, feed["noise_u"],
-        feed["noise_i"], feed["gt"], feed["valid"], rng)
+        feed["noise_i"], feed["gt"], feed["valid"], rng,
+        identity=aux["identity"])
     keep = jnp.logical_not(aux["overflow"])
     params = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
                           new_params, params)

@@ -320,3 +320,27 @@ def test_trainer_device_plan_on_mesh_matches_single_device():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
         jax.device_get(tr_s.params), jax.device_get(tr_m.params))
+
+
+def test_identity_frontier_shortcuts_match_gather_path(setup):
+    """aux['identity'] (dense frontiers + iota ids) lets the forward
+    read tables with an elementwise mask and pass cross-block features
+    through — must equal the generic gather path exactly."""
+    g, csr, cfg, params, pu, pi, nu, ni, max_deg = setup
+    caps = {"user": 64, "item": 64}  # > n -> dense identity frontiers
+    dev, aux = _device_plan_tree(g, cfg, pu, pi, caps, max_deg, None)
+    assert aux["identity"] == {"user": True, "item": True}
+    noise_u = np.asarray(nu).copy()
+    noise_u[::3] = -1  # exercise the mask too
+    out_g = sampled_forward(params, cfg, dev, noise_u, ni)
+    out_i = sampled_forward(params, cfg, dev, noise_u, ni,
+                            identity_frontiers=aux["identity"])
+    np.testing.assert_allclose(np.asarray(out_i["pred_ratings"]),
+                               np.asarray(out_g["pred_ratings"]),
+                               rtol=1e-6, atol=1e-6)
+    for b in range(cfg.nblocks):
+        for t in ("user", "item"):
+            np.testing.assert_allclose(
+                np.asarray(out_i["pred_embed"][b][t]),
+                np.asarray(out_g["pred_embed"][b][t]),
+                rtol=1e-6, atol=1e-6)
