@@ -58,9 +58,15 @@ def main():
                              "(> 0 selects the sampled mini-batch "
                              "trainer; -1 = full-graph)")
     parser.add_argument("--device_sampler", action="store_true",
+                        default=None,
                         help="sample batches ON DEVICE inside the fused "
-                             "scan (TRAIN.DEVICE_SAMPLER; single-chip "
-                             "fast path)")
+                             "scan (TRAIN.DEVICE_SAMPLER).  DEFAULT ON "
+                             "for single-mesh TPU runs (same uniform "
+                             "batch distribution, zero per-step host "
+                             "transfers — measured 2.4x over the "
+                             "host-fed pipeline); --no_device_sampler "
+                             "restores host sampling")
+    parser.add_argument("--no_device_sampler", action="store_true")
     parser.add_argument("--prefetch", action="store_true",
                         help="sampled mode: build plans in a one-ahead "
                              "producer thread (OMP team capped at "
@@ -120,8 +126,21 @@ def main():
         cfg.KERNEL.BACKEND = args.backend
     if args.num_neighbors is not None:
         cfg.GRAPH_SAMPLER.NUM_NEIGHBORS = args.num_neighbors
-    if args.device_sampler:
+    if args.no_device_sampler:
+        cfg.TRAIN.DEVICE_SAMPLER = False
+    elif args.device_sampler:
         cfg.TRAIN.DEVICE_SAMPLER = True
+    elif not cfg.TRAIN.get("DEVICE_SAMPLER", False):
+        # default ON where semantics allow: TPU, full-graph mode, no
+        # mesh (the device sampler draws the same uniform edge batches
+        # with device RNG; the host path remains the parity A/B)
+        import jax as _jax
+        cfg.TRAIN.DEVICE_SAMPLER = (
+            _jax.default_backend() == "tpu"
+            and int(cfg.GRAPH_SAMPLER.NUM_NEIGHBORS) <= 0
+            and cfg.PARALLEL.get("DATA_AXIS", 1)
+            * cfg.PARALLEL.get("MODEL_AXIS", 1) <= 1
+            and args.mesh is None)
     if args.mesh is not None:
         d, m = (int(x) for x in args.mesh.lower().split("x"))
         cfg.PARALLEL.DATA_AXIS = d
