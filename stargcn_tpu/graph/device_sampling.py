@@ -191,24 +191,46 @@ class DevicePlanner:
 
     # ------------------------------------------------------------------
 
-    def _sample_level(self, tab, t, other, frontier_t, key, rem):
+    def _sample_level(self, tab, t, other, frontier_t, key, rem,
+                      ident: bool = False):
         """Fanout-sample neighbors of type-``other`` for every valid row
         of ``frontier_t``; returns (nbr index array (cap,K), rating
-        (cap,K), weight (cap,K), row validity)."""
+        (cap,K), weight (cap,K), row validity).
+
+        ``ident`` (STATIC) asserts ``frontier_t == arange(n_t)`` — the
+        dense path, where cap clamps to the node count — so every
+        per-row gather (ind_ptr, degree, removal count) is an identity
+        and reads its table directly instead of paying an n-row gather
+        (measured: these identity gathers were a visible slice of the
+        ML-10M devplan step)."""
         K = self.fanout
         n_t = tab.n[t]
-        ok_row = frontier_t < n_t
-        safe = jnp.where(ok_row, frontier_t, 0)
-        start = jnp.take(tab.ind_ptr[t], safe)
-        deg = jnp.take(tab.ind_ptr[t], safe + 1) - start
         j = jnp.arange(K, dtype=jnp.int32)[None, :]
         u = jax.random.uniform(key, (frontier_t.shape[0], K))
-        r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
-                        jnp.maximum(deg[:, None] - 1, 0))
-        r = jnp.where(deg[:, None] <= K, j, r)
-        slot_ok = ok_row[:, None] & ((deg[:, None] > K) | (j < deg[:, None]))
-        e = start[:, None] + jnp.minimum(r, jnp.maximum(deg[:, None] - 1, 0))
-        e = jnp.where(ok_row[:, None], e, 0)
+        if ident:
+            assert frontier_t.shape[0] == n_t
+            safe = frontier_t
+            start = tab.ind_ptr[t][:-1]
+            deg = tab.row_deg[t]
+            r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
+                            jnp.maximum(deg[:, None] - 1, 0))
+            r = jnp.where(deg[:, None] <= K, j, r)
+            slot_ok = (deg[:, None] > K) | (j < deg[:, None])
+            e = start[:, None] + jnp.minimum(
+                r, jnp.maximum(deg[:, None] - 1, 0))
+        else:
+            ok_row = frontier_t < n_t
+            safe = jnp.where(ok_row, frontier_t, 0)
+            start = jnp.take(tab.ind_ptr[t], safe)
+            deg = jnp.take(tab.ind_ptr[t], safe + 1) - start
+            r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
+                            jnp.maximum(deg[:, None] - 1, 0))
+            r = jnp.where(deg[:, None] <= K, j, r)
+            slot_ok = ok_row[:, None] & ((deg[:, None] > K)
+                                         | (j < deg[:, None]))
+            e = start[:, None] + jnp.minimum(
+                r, jnp.maximum(deg[:, None] - 1, 0))
+            e = jnp.where(ok_row[:, None], e, 0)
         nbr = jnp.take(tab.end_points[t], e)
         rating = jnp.take(tab.rating_idx[t], e)
         # support from (removal-adjusted) degrees — BlockSampler
@@ -218,7 +240,8 @@ class DevicePlanner:
         dr = deg[:, None].astype(jnp.float32)
         dc = jnp.take(tab.col_deg[t], nbr).astype(jnp.float32)
         if rem is not None:
-            dr = dr - jnp.take(rem[t], safe)[:, None]
+            rem_rows = rem[t] if ident else jnp.take(rem[t], safe)
+            dr = dr - rem_rows[:, None]
             dc = dc - jnp.take(rem[other], nbr)
         if self.symm:
             denom = dr * dc
@@ -289,15 +312,18 @@ class DevicePlanner:
                 rem[t] = cnt.astype(jnp.float32)
                 needed_ex = jnp.maximum(needed_ex, cnt.max())
 
-        def excl_mask(t, rows_safe, nbr):
+        def excl_mask(t, rows_safe, nbr, ident=False):
             if exdat is None:
                 return None
             start, cnt, partner, B = exdat[t]
             j = jnp.arange(self.exclude_cap, dtype=jnp.int32)
-            idx = jnp.minimum(jnp.take(start, rows_safe)[:, None] + j,
-                              B - 1)
+            # ident (dense path): rows_safe == arange(n_t), so the
+            # per-row start/count gathers are identities
+            st_rows = start if ident else jnp.take(start, rows_safe)
+            cn_rows = cnt if ident else jnp.take(cnt, rows_safe)
+            idx = jnp.minimum(st_rows[:, None] + j, B - 1)
             cand = jnp.take(partner, idx)                  # (cap, Ex)
-            ok_c = j[None, :] < jnp.take(cnt, rows_safe)[:, None]
+            ok_c = j[None, :] < cn_rows[:, None]
             cand = jnp.where(ok_c, cand, -1)
             hit = (nbr[:, :, None] == cand[:, None, :]).any(-1)
             return jnp.logical_not(hit)
@@ -365,8 +391,9 @@ class DevicePlanner:
                                     ("item", "user", ki)):
                     nbr, rating, weight, slot_ok, rows_safe = \
                         self._sample_level(tab, t, other,
-                                           lvl_arr(t, cur[t]), k, rem)
-                    keep = excl_mask(t, rows_safe, nbr)
+                                           lvl_arr(t, cur[t]), k, rem,
+                                           ident=dense[t])
+                    keep = excl_mask(t, rows_safe, nbr, ident=dense[t])
                     if keep is not None:
                         weight = weight * keep
                     samp[t] = (nbr, rating, weight, slot_ok)
