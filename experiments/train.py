@@ -183,8 +183,9 @@ def main():
 
         # Sampled device backend: 'pallas' routes the ELL pooling
         # through the hand kernels (ops/pallas_kernels.py); 'auto'
-        # picks by the measured crossover (frontier size x fanout —
-        # resolve_sampled_backend); anything else uses the XLA
+        # resolves by the measured fwd+bwd crossover — XLA at every
+        # training shape (resolve_sampled_backend; the Pallas tier is
+        # a forward/serving win only); anything else uses the XLA
         # formulation.
         sampled_backend = (cfg.KERNEL.BACKEND
                           if cfg.KERNEL.BACKEND in ("pallas", "auto")

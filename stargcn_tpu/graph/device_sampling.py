@@ -58,6 +58,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# REMOVE_RATING exclusion picks between two scatter-free formulations
+# (see ``DevicePlanner.build``): the one-hot-MXU hit test materialises a
+# (batch, n_type) bf16 one-hot per direction, so it is gated on that
+# product; beyond it the lex-sorted rank-table path (which scales to
+# arbitrary node counts) is used.  2^29 elements = 1 GiB bf16; ML-10M
+# (4096 x 69878 = 2.9e8) is inside, the 500k-user beyond-HBM regime is
+# outside.
+EXCLUDE_ONEHOT_MAX_ELEMS = 1 << 29
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -207,29 +216,28 @@ class DevicePlanner:
         n_t = tab.n[t]
         j = jnp.arange(K, dtype=jnp.int32)[None, :]
         u = jax.random.uniform(key, (frontier_t.shape[0], K))
+        # Only the start/deg/row-validity SOURCES differ between the
+        # identity (dense) and gathered paths; the r/slot_ok/e draw
+        # arithmetic is shared so the two can never drift.
         if ident:
             assert frontier_t.shape[0] == n_t
             safe = frontier_t
             start = tab.ind_ptr[t][:-1]
             deg = tab.row_deg[t]
-            r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
-                            jnp.maximum(deg[:, None] - 1, 0))
-            r = jnp.where(deg[:, None] <= K, j, r)
-            slot_ok = (deg[:, None] > K) | (j < deg[:, None])
-            e = start[:, None] + jnp.minimum(
-                r, jnp.maximum(deg[:, None] - 1, 0))
+            ok_row = None
         else:
             ok_row = frontier_t < n_t
             safe = jnp.where(ok_row, frontier_t, 0)
             start = jnp.take(tab.ind_ptr[t], safe)
             deg = jnp.take(tab.ind_ptr[t], safe + 1) - start
-            r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
-                            jnp.maximum(deg[:, None] - 1, 0))
-            r = jnp.where(deg[:, None] <= K, j, r)
-            slot_ok = ok_row[:, None] & ((deg[:, None] > K)
-                                         | (j < deg[:, None]))
-            e = start[:, None] + jnp.minimum(
-                r, jnp.maximum(deg[:, None] - 1, 0))
+        r = jnp.minimum((u * deg[:, None]).astype(jnp.int32),
+                        jnp.maximum(deg[:, None] - 1, 0))
+        r = jnp.where(deg[:, None] <= K, j, r)
+        slot_ok = (deg[:, None] > K) | (j < deg[:, None])
+        e = start[:, None] + jnp.minimum(
+            r, jnp.maximum(deg[:, None] - 1, 0))
+        if ok_row is not None:
+            slot_ok = ok_row[:, None] & slot_ok
             e = jnp.where(ok_row[:, None], e, 0)
         nbr = jnp.take(tab.end_points[t], e)
         rating = jnp.take(tab.rating_idx[t], e)
@@ -269,53 +277,99 @@ class DevicePlanner:
         # it — which also makes overflow impossible at cap == n
         cap = {t: min(self.caps[t], tab.n[t]) for t in ("user", "item")}
         K = self.fanout
-        NI = tab.n["item"]
 
-        # removal-adjusted degrees + batch-edge exclusion keys
-        # (REMOVE_RATING: BlockSampler.removal_args semantics).  Edge
-        # keys are row*NI+col in int32 — fine up to n_user*n_item < 2^31
-        # (ML-10M is 7.5e8); SampledTrainer falls back to host planning
-        # beyond that.
-        assert tab.n["user"] * tab.n["item"] < 2 ** 31, (
-            "device planner edge keys need n_user*n_item < 2^31; use "
-            "the host-planned mode for larger id products")
-        # REMOVE_RATING machinery, scatter-free AND per-slot-search-free
-        # (a per-slot searchsorted over the batch keys measured ~400 ms
-        # per ML-10M step — 20M binary-search gathers; this formulation
-        # replaces it with dense per-node rank tables + one bounded
-        # candidate-list comparison per slot, ~ms):
-        #   * sort batch keys row-major per direction,
-        #   * per-node start-rank/count via an ARANGE searchsorted
-        #     (n queries over a VMEM-sized table = a scatter-free
-        #     bincount; also yields the removal-adjusted-degree counts),
-        #   * per sampled slot, compare its neighbor against that row's
-        #     <= exclude_cap batch partners.
+        # Dense-frontier fast path flags (used below AND by the
+        # exclusion regime choice): a clamped cap == n means the padded
+        # frontier IS the full node set, so interning is the identity —
+        # no dedup, no position maps, and overflow is impossible.  (At
+        # ML-10M / batch 4096 / fanout 8 the probed caps exceed both
+        # node counts, so the production sampled bench runs entirely on
+        # this path; the dedup path serves the true beyond-HBM regime
+        # where cap < n.)  Identity levels are stored as None.
+        dense = {t: cap[t] >= tab.n[t] for t in ("user", "item")}
+
+        # REMOVE_RATING batch-edge exclusion + removal-adjusted degrees
+        # (BlockSampler.removal_args semantics), scatter-free, in one of
+        # two formulations chosen STATICALLY per step:
+        #
+        # * one-hot-MXU (dense frontiers, B * n_t within
+        #   EXCLUDE_ONEHOT_MAX_ELEMS — the ML-10M production regime):
+        #   materialise a (B, n_t) bf16 batch-row one-hot per direction
+        #   once; per-node counts are its column sums and the per-slot
+        #   hit test becomes one (n_t, B) x (B, K) dot-general — the
+        #   (n, K, Ex) candidate gather/compare (measured ~30 ms/step at
+        #   ML-10M) and the per-direction iota-searchsorted rank tables
+        #   (~12 ms) both disappear into MXU/VPU streams.  EXACT: no
+        #   exclude_cap, no possible exclusion overflow.
+        #
+        # * lex-sorted rank tables (any scale — this is the beyond-HBM
+        #   path): sort batch pairs row-major with a TWO-KEY
+        #   ``lax.sort`` (no row*n+col composite key, so arbitrary
+        #   n_user*n_item id products work — the round-4 int32 edge-key
+        #   limit is gone), per-node start-rank/count via an arange
+        #   searchsorted, then per sampled slot one bounded
+        #   candidate-list comparison against the row's <= exclude_cap
+        #   batch partners.  (A per-slot binary search over the batch
+        #   keys measured ~400 ms/step — 20M pointer-chasing gathers —
+        #   and a within-row binary-search variant measured 176-193 ms
+        #   vs 128-133 for this compare; both rejected.)
         rem = exdat = None
         needed_ex = jnp.int32(0)
         if exclude:
             B = bu_ind.shape[0]
-            NU = tab.n["user"]
+            use_onehot = all(
+                dense[t] and B * tab.n[t] <= EXCLUDE_ONEHOT_MAX_ELEMS
+                for t in ("user", "item"))
             exdat = {}
             rem = {}
-            for t, rows_b, cols_b, w in (
-                    ("user", bu_ind, bi_ind, NI),
-                    ("item", bi_ind, bu_ind, NU)):
-                keys = jnp.sort(jnp.where(
-                    pairs_valid > 0, rows_b * w + cols_b, -1))
-                iota_n = jnp.arange(tab.n[t] + 1, dtype=jnp.int32)
-                # ranks of row boundaries in the sorted key space
-                bounds = jnp.searchsorted(keys, iota_n * w)
-                start, cnt = bounds[:-1], jnp.diff(bounds)
-                partner = jnp.where(keys >= 0, keys % w, -1)
-                exdat[t] = (start.astype(jnp.int32),
-                            cnt.astype(jnp.int32), partner, B)
-                rem[t] = cnt.astype(jnp.float32)
-                needed_ex = jnp.maximum(needed_ex, cnt.max())
+            ok_b = pairs_valid > 0
+            for t, rows_b, cols_b in (("user", bu_ind, bi_ind),
+                                      ("item", bi_ind, bu_ind)):
+                n_t = tab.n[t]
+                if use_onehot:
+                    # invalid batch slots -> row n_t (an all-zero
+                    # one-hot row) and partner -1 (matches no neighbor)
+                    rows_m = jnp.where(ok_b, rows_b, n_t)
+                    cols_m = jnp.where(ok_b, cols_b, -1)
+                    oh = (rows_m[:, None]
+                          == jnp.arange(n_t, dtype=jnp.int32)[None, :]
+                          ).astype(jnp.bfloat16)          # (B, n_t)
+                    exdat[t] = ("onehot", oh, rows_m, cols_m)
+                    # exact f32 accumulation: 0/1 products, count <= B
+                    rem[t] = jnp.sum(oh, axis=0, dtype=jnp.float32)
+                else:
+                    rows_s = jnp.where(ok_b, rows_b, n_t)
+                    cols_s = jnp.where(ok_b, cols_b, -1)
+                    rows_sorted, partner = jax.lax.sort(
+                        (rows_s.astype(jnp.int32),
+                         cols_s.astype(jnp.int32)), num_keys=2)
+                    iota_n = jnp.arange(n_t + 1, dtype=jnp.int32)
+                    # ranks of row boundaries in the sorted row space
+                    bounds = jnp.searchsorted(rows_sorted, iota_n)
+                    start, cnt = bounds[:-1], jnp.diff(bounds)
+                    exdat[t] = ("ranktab", start.astype(jnp.int32),
+                                cnt.astype(jnp.int32), partner, B)
+                    rem[t] = cnt.astype(jnp.float32)
+                    needed_ex = jnp.maximum(needed_ex, cnt.max())
 
         def excl_mask(t, rows_safe, nbr, ident=False):
             if exdat is None:
                 return None
-            start, cnt, partner, B = exdat[t]
+            if exdat[t][0] == "onehot":
+                _, oh, rows_m, cols_m = exdat[t]
+                # hit[v, k] = #batch edges (v, nbr[v, k]): gather the
+                # batch rows' sampled neighbors (B, K), compare against
+                # each edge's partner, contract back over the batch on
+                # the MXU.  rows_safe is the identity here (onehot mode
+                # requires dense frontiers), so nbr rows ARE node rows.
+                nbr_b = jnp.take(nbr, jnp.minimum(rows_m, nbr.shape[0] - 1),
+                                 axis=0)                    # (B, K)
+                h = (nbr_b == cols_m[:, None]).astype(jnp.bfloat16)
+                hits = jax.lax.dot_general(
+                    oh, h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (n_t, K)
+                return hits < 0.5
+            _, start, cnt, partner, B = exdat[t]
             j = jnp.arange(self.exclude_cap, dtype=jnp.int32)
             # ident (dense path): rows_safe == arange(n_t), so the
             # per-row start/count gathers are identities
@@ -343,15 +397,6 @@ class DevicePlanner:
                 [jnp.where(pairs_valid > 0, bi_ind, big["item"]),
                  rec_ind["item"]]),
         }
-
-        # Dense-frontier fast path: a clamped cap == n means the padded
-        # frontier IS the full node set, so interning is the identity —
-        # no dedup, no position maps, and overflow is impossible.  (At
-        # ML-10M / batch 4096 / fanout 8 the probed caps exceed both
-        # node counts, so the production sampled bench runs entirely on
-        # this path; the dedup path below serves the true beyond-HBM
-        # regime where cap < n.)  Identity levels are stored as None.
-        dense = {t: cap[t] >= tab.n[t] for t in ("user", "item")}
 
         needed = {"user": jnp.int32(0), "item": jnp.int32(0)}
 

@@ -43,19 +43,30 @@ def _round_up(n, m):
     return max(m, -(-n // m) * m)
 
 
-def resolve_sampled_backend(backend: str, caps: dict, fanout: int) -> str:
-    """'auto' -> the measured winner for the plan shapes.
+def resolve_sampled_backend(backend: str, caps: dict, fanout: int, *,
+                            for_training: bool = True) -> str:
+    """'auto' -> the measured winner for the plan shapes AND step kind.
 
-    From the round-4 crossover sweep (scripts/sweep_pallas_crossover.py,
-    BASELINE.md): the Pallas fixed-fanout ELL kernels win the forward
-    at MODERATE frontier sizes with wide fanout (best recorded 2.08x at
-    D=8192/K=32/F=256; ~1.2-1.6x across D<=32k, K=32) and lose hard at
-    the ML-10M production shapes (D~87k, K=8: XLA wins 7.5x).  The
-    backward is near-parity in the win region.  Anything outside the
-    measured win region resolves to the XLA formulation."""
+    The gate keys on the column that matters for the caller.  From the
+    round-4 crossover sweep (scripts/sweep_pallas_crossover.py,
+    BASELINE.md "Pallas ELL crossover"):
+
+    * fwd+bwd — what a TRAINING step runs — the Pallas fixed-fanout ELL
+      kernels never beat the XLA gather formulation anywhere on the
+      grid (best 0.98x at D=8192/K=32/F=256, worst 0.44x at
+      D=32768/K=32): training 'auto' resolves to XLA at EVERY shape.
+      (Round 4 gated on the forward column here and auto-picked a
+      measured 2.3x fwd+bwd loss at the upper edge of its own window —
+      VERDICT r4 weak #1.)
+    * forward only — inference / serving over sampled frontiers — the
+      kernels win at moderate frontier sizes with wide fanout (2.08x at
+      D=8192/K=32/F=256, 1.2-1.6x across D<=32k at K=32) and lose hard
+      at D~87k/K=8 (XLA 7.5x): forward 'auto' picks Pallas only inside
+      that measured win region.
+    """
     if backend != "auto":
         return backend
-    if jax.default_backend() != "tpu":
+    if for_training or jax.default_backend() != "tpu":
         return "xla"
     d_max = max(caps.values()) if caps else 1 << 30
     return "pallas" if (d_max <= 32768 and 16 <= fanout <= 32) else "xla"

@@ -366,21 +366,36 @@ def test_sampled_fit_chunked(setup, tmp_path):
 
 
 def test_auto_backend_resolves_by_measured_crossover():
-    """'auto' picks the Pallas ELL tier only inside the measured win
-    region (BASELINE.md round-4 crossover sweep): moderate frontiers
-    with wide fanout; XLA elsewhere (and always off-TPU)."""
+    """'auto' keys on the column that matters for the step kind
+    (BASELINE.md round-4 crossover sweep): training = fwd+bwd, where
+    Pallas never wins (best 0.98x) -> XLA at EVERY shape; forward-only
+    (serving) picks Pallas only inside the measured forward win region
+    (moderate frontiers, wide fanout); XLA everywhere else (and always
+    off-TPU)."""
     from stargcn_tpu.train.sampled_loop import resolve_sampled_backend
 
     caps_small = {"user": 8192, "item": 4096}
     caps_big = {"user": 87040, "item": 17408}
-    # this test process is CPU-pinned -> always xla
-    assert resolve_sampled_backend("auto", caps_small, 32) == "xla"
+    # explicit backends pass through untouched
     assert resolve_sampled_backend("pallas", caps_big, 8) == "pallas"
     assert resolve_sampled_backend("xla", caps_small, 32) == "xla"
+    # this test process is CPU-pinned -> forward auto is xla too
+    assert resolve_sampled_backend("auto", caps_small, 32,
+                                   for_training=False) == "xla"
     # the TPU decision table, unit-tested via the rule's own terms
     import unittest.mock as mock
     with mock.patch("jax.default_backend", return_value="tpu"):
-        assert resolve_sampled_backend("auto", caps_small, 32) == "pallas"
-        assert resolve_sampled_backend("auto", caps_small, 8) == "xla"
-        assert resolve_sampled_backend("auto", caps_big, 32) == "xla"
-        assert resolve_sampled_backend("auto", caps_big, 8) == "xla"
+        # training: the fwd+bwd column has no Pallas win region, so
+        # even the forward sweet spot resolves to xla
+        for caps, fanout in ((caps_small, 32), (caps_small, 8),
+                             (caps_big, 32), (caps_big, 8)):
+            assert resolve_sampled_backend("auto", caps, fanout) == "xla"
+        # forward-only: Pallas inside the measured win region only
+        assert resolve_sampled_backend(
+            "auto", caps_small, 32, for_training=False) == "pallas"
+        assert resolve_sampled_backend(
+            "auto", caps_small, 8, for_training=False) == "xla"
+        assert resolve_sampled_backend(
+            "auto", caps_big, 32, for_training=False) == "xla"
+        assert resolve_sampled_backend(
+            "auto", caps_big, 8, for_training=False) == "xla"
