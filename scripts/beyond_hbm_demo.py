@@ -15,10 +15,21 @@ machinery exists for (the TPU answer to the reference's
 ``gen_plan``/``heter_sage``, ``mxgraph/layers/layers.py:260-385``,
 whose host-resident graph had the same role on GPU).
 
+``--plan_device`` moves the ENTIRE planning phase inside the jitted
+step (``graph/device_sampling.py``).  At this scale the planner runs
+its DEDUP regime (frontier caps < node counts: capped-unique double
+sorts + binary-search position maps — the true beyond-HBM machinery,
+not the dense-frontier fast path the ML-10M bench rides) and the
+lex-sorted rank-table REMOVE_RATING formulation (the id product
+2.5e10 exceeds int32, which the round-4 edge-key formulation could
+not represent).
+
 Prints one JSON line: steps/s, rating-pairs/s, first/last train loss,
-valid RMSE, and the HBM arithmetic above.
+valid RMSE, the HBM arithmetic above, and (plan_device) the dedup
+regime + overflow accounting.
 
     python scripts/beyond_hbm_demo.py [--edges 50000000] [--iters 200]
+        [--plan_device] [--scan 5]
 """
 
 import argparse
@@ -32,16 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--users", type=int, default=500_000)
-    p.add_argument("--items", type=int, default=50_000)
-    p.add_argument("--edges", type=int, default=50_000_000)
-    p.add_argument("--iters", type=int, default=200)
-    p.add_argument("--batch", type=int, default=4096)
-    p.add_argument("--fanout", type=int, default=8)
-    args = p.parse_args()
-
+def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
+        batch=4096, fanout=8, plan_device=False, scan=5, seed=7,
+        log=lambda *a: print(*a, flush=True)):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     import jax
 
@@ -53,81 +57,138 @@ def main():
     from stargcn_tpu.utils import cfg_from_file, default_cfg
 
     levels = 10
-    bitdense_gb = levels * args.users * args.items / 8 / 1e9
+    bitdense_gb = levels * users * items / 8 / 1e9
     t0 = time.time()
-    g = synthetic_graph(num_users=args.users, num_items=args.items,
-                        num_edges=args.edges,
+    g = synthetic_graph(num_users=users, num_items=items,
+                        num_edges=edges,
                         rating_values=tuple(np.arange(0.5, 5.01, 0.5)),
-                        seed=7)
+                        seed=seed)
     csr = g["user", "movie"]
     build_s = time.time() - t0
-    print(f"# graph built: {csr.nnz} edges in {build_s:.0f}s", flush=True)
+    log(f"# graph built: {csr.nnz} edges in {build_s:.0f}s")
 
-    rng = np.random.RandomState(7)
+    rng = np.random.RandomState(seed)
     pairs = csr.node_pair_ids
-    hold = rng.permutation(pairs.shape[1])[:200_000]
+    n_hold = min(200_000, pairs.shape[1] // 5)
+    hold = rng.permutation(pairs.shape[1])[:n_hold]
     it = DataIterator(g, "user", "movie",
-                      test_node_pairs=pairs[:, hold[:100_000]],
-                      valid_node_pairs=pairs[:, hold[100_000:]],
+                      test_node_pairs=pairs[:, hold[:n_hold // 2]],
+                      valid_node_pairs=pairs[:, hold[n_hold // 2:]],
                       embed_P_mask=0.1, embed_p_zero=0.0,
-                      embed_p_self=1.0, seed=7)
+                      embed_p_self=1.0, seed=seed)
 
     cfg = default_cfg()
     cfg_from_file(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "configs",
         "transductive_ml_10m.yml"), cfg)
     cfg.DATASET.NAME = "synthetic"
-    cfg.TRAIN.RATING_BATCH_SIZE = args.batch
+    cfg.TRAIN.RATING_BATCH_SIZE = batch
     cfg.TRAIN.RECON_BATCH_SIZE = 1024
-    cfg.TRAIN.MAX_ITER = args.iters
-    cfg.TRAIN.VALID_INTERVAL = max(args.iters // 2, 10)
+    cfg.TRAIN.MAX_ITER = iters
+    cfg.TRAIN.VALID_INTERVAL = max(iters // 2, 10)
     cfg.TRAIN.LOG_INTERVAL = 10
     model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
                                    len(csr.multi_link), num_edges=csr.nnz)
     t0 = time.time()
     trainer = SampledTrainer(model_cfg, it, TrainSettings.from_cfg(cfg),
-                             fanout=args.fanout)
+                             fanout=fanout, plan_device=plan_device)
     setup_s = time.time() - t0
+    dedup = {t: trainer.caps[t] < n
+             for t, n in (("user", users), ("item", items))}
+    log(f"# trainer ready in {setup_s:.0f}s; caps {trainer.caps} "
+        f"(dedup regime: {dedup}); remove_rating={trainer.do_remove}")
 
+    def mem(tag):
+        try:
+            st = jax.local_devices()[0].memory_stats() or {}
+            log(f"# hbm[{tag}]: in_use="
+                f"{st.get('bytes_in_use', 0)/1e9:.2f}GB peak="
+                f"{st.get('peak_bytes_in_use', 0)/1e9:.2f}GB limit="
+                f"{st.get('bytes_limit', 0)/1e9:.2f}GB")
+        except Exception as e:
+            log(f"# hbm[{tag}]: unavailable ({type(e).__name__})")
+
+    mem("after_setup")
     rs = it.rating_sampler(batch_size=trainer.train_batch, segment="train")
     recon = it.recon_nodes_sampler(batch_size=1024)
+
+    def chunk():
+        return [trainer._build_batch_safe(rs, recon) for _ in range(scan)]
+
     losses = []
-    batch = trainer._build_batch_safe(rs, recon)
-    trainer.train_iteration(batch)  # compile
+    overflow_steps = 0
+    t0 = time.time()
+    stats = trainer.train_chunk(chunk())  # compile
+    float(np.asarray(stats["loss"]).reshape(-1)[-1])
+    compile_s = time.time() - t0
+    log(f"# first chunk (compile) in {compile_s:.0f}s")
+    mem("after_first_chunk")
     t0 = time.time()
     pending = []
-    for i in range(args.iters):
-        stats = trainer.train_iteration(
-            trainer._build_batch_safe(rs, recon))
-        pending.append(stats["loss"])
-        if (i + 1) % 10 == 0:
-            # bound the dispatch queue: each queued step holds its feed
-            # buffers (plan + full-size noise arrays) in HBM until it
-            # executes — unbounded async dispatch OOMs at this scale
-            losses.extend(float(x) for x in jax.device_get(pending))
+    n_chunks = max(iters // scan, 1)
+    for i in range(n_chunks):
+        stats = trainer.train_chunk(chunk())
+        pending.append(stats)
+        if (i + 1) % 4 == 0 or i == n_chunks - 1:
+            # bound the dispatch queue: each queued chunk holds its
+            # feed buffers in HBM until it executes
+            for st in jax.device_get(pending):
+                losses.extend(np.asarray(st["loss"]).reshape(-1).tolist())
+                if "overflow" in st:
+                    overflow_steps += int(
+                        np.asarray(st["overflow"]).sum())
             pending.clear()
-    losses.extend(float(x) for x in jax.device_get(pending))
     train_s = time.time() - t0
+    steps_done = n_chunks * scan
+    log(f"# {steps_done} steps in {train_s:.0f}s "
+        f"({train_s / steps_done * 1e3:.0f} ms/step), "
+        f"{overflow_steps} overflow-rejected")
     rmse = trainer.evaluate("valid")
 
     out = {
         "metric": "beyond_hbm_sampled_training",
-        "graph": f"{args.users}x{args.items}, {csr.nnz} edges, "
-                 f"{levels} levels",
+        "graph": f"{users}x{items}, {csr.nnz} edges, {levels} levels",
         "bitdense_layout_gb": round(bitdense_gb, 1),
         "hbm_gb": 16,
         "full_graph_possible": bitdense_gb < 16,
-        "steps_per_s": round(args.iters / train_s, 2),
-        "ms_per_step": round(train_s / args.iters * 1e3, 1),
-        "rating_pairs_per_s": round(args.iters * args.batch / train_s, 1),
+        "plan_device": bool(plan_device),
+        "scan_steps": scan,
+        "steps_per_s": round(steps_done / train_s, 2),
+        "ms_per_step": round(train_s / steps_done * 1e3, 1),
+        "rating_pairs_per_s": round(steps_done * batch / train_s, 1),
         "loss_first10": round(float(np.mean(losses[:10])), 4),
         "loss_last10": round(float(np.mean(losses[-10:])), 4),
         "loss_decreased": bool(np.mean(losses[-10:]) < np.mean(losses[:10])),
         "valid_rmse": [round(float(x), 4) for x in np.asarray(rmse)],
         "graph_build_s": round(build_s, 1),
         "trainer_setup_s": round(setup_s, 1),
+        "compile_s": round(compile_s, 1),
         "frontier_caps": dict(trainer.caps),
+        "dedup_regime": dedup,
+        "remove_rating": bool(trainer.do_remove),
     }
+    if plan_device:
+        out["overflow_steps"] = overflow_steps
+        out["id_product"] = users * items  # > 2^31: needs the lexsort
+        b = trainer._pack_batch(trainer._build_batch_safe(rs, recon))
+        out["feed_mb"] = round((b[0].nbytes + b[1].nbytes) / 1e6, 2)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=500_000)
+    p.add_argument("--items", type=int, default=50_000)
+    p.add_argument("--edges", type=int, default=50_000_000)
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--fanout", type=int, default=8)
+    p.add_argument("--plan_device", action="store_true")
+    p.add_argument("--scan", type=int, default=5)
+    args = p.parse_args()
+    out = run(users=args.users, items=args.items, edges=args.edges,
+              iters=args.iters, batch=args.batch, fanout=args.fanout,
+              plan_device=args.plan_device, scan=args.scan)
     print(json.dumps(out))
     return out
 

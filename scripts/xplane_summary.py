@@ -15,10 +15,20 @@ durations and top event metadata names by total duration."""
 import sys, glob, collections
 
 
+class TruncatedProto(ValueError):
+    """Raised on a truncated/corrupt .xplane.pb instead of a bare
+    IndexError from past-the-buffer reads."""
+
+
 def varint(buf, i):
     r = 0
     s = 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise TruncatedProto(
+                f"varint runs past the buffer at offset {i}/{n} "
+                "(truncated or corrupt .xplane.pb)")
         b = buf[i]
         i += 1
         r |= (b & 0x7F) << s
@@ -38,6 +48,10 @@ def fields(buf):
             yield fn, v
         elif wt == 2:
             ln, i = varint(buf, i)
+            if i + ln > n:
+                raise TruncatedProto(
+                    f"length-delimited field {fn} ({ln} B) runs past "
+                    f"the buffer at offset {i}/{n}")
             yield fn, buf[i:i + ln]
             i += ln
         elif wt == 5:
@@ -50,10 +64,26 @@ def fields(buf):
             raise ValueError(f"wire type {wt}")
 
 
+def _as_int(v):
+    """Integer view of a field matched by number: varints arrive as
+    int, fixed32/64 as little-endian bytes (schema wire-type drift
+    stays arithmetic-safe instead of raising TypeError mid-sum)."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return int.from_bytes(v, "little")
+    raise TruncatedProto(f"expected integer field, got {type(v).__name__}")
+
+
+def _as_text(v):
+    return (v.decode("utf-8", "replace")
+            if isinstance(v, (bytes, bytearray)) else str(v))
+
+
 def parse(path):
     data = open(path, "rb").read()
     for fn, v in fields(data):
-        if fn != 1:
+        if fn != 1 or not isinstance(v, (bytes, bytearray)):
             continue
         plane = v
         pname = ""
@@ -61,20 +91,20 @@ def parse(path):
         meta = {}
         for pf, pv in fields(plane):
             if pf == 2:
-                pname = pv.decode("utf-8", "replace")
-            elif pf == 3:
+                pname = _as_text(pv)
+            elif pf == 3 and isinstance(pv, (bytes, bytearray)):
                 lines.append(pv)
             elif pf == 4:  # map<int64, XEventMetadata>
                 mid, mname = None, ""
                 for mf, mv in fields(pv):
                     if mf == 1:
-                        mid = mv
-                    elif mf == 2:
+                        mid = _as_int(mv)
+                    elif mf == 2 and isinstance(mv, (bytes, bytearray)):
                         for ef, ev in fields(mv):
                             if ef == 1:
-                                mid = ev
+                                mid = _as_int(ev)
                             elif ef == 2:
-                                mname = ev.decode("utf-8", "replace")
+                                mname = _as_text(ev)
                 if mid is not None:
                     meta[mid] = mname
         line_tot = {}
@@ -84,15 +114,15 @@ def parse(path):
             tot = 0
             for lf, lv in fields(line):
                 if lf == 2:
-                    lname = lv.decode("utf-8", "replace")
-                elif lf == 4:  # XEvent
+                    lname = _as_text(lv)
+                elif lf == 4 and isinstance(lv, (bytes, bytearray)):  # XEvent
                     mid = None
                     dur = 0
                     for ef, ev in fields(lv):
                         if ef == 1:
-                            mid = ev
+                            mid = _as_int(ev)
                         elif ef == 3:
-                            dur = ev
+                            dur = _as_int(ev)
                     tot += dur
                     ev_tot[meta.get(mid, str(mid))] += dur
             line_tot[lname] = line_tot.get(lname, 0) + tot

