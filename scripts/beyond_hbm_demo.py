@@ -2,12 +2,18 @@
 """Beyond-HBM training demo: a graph too large for ANY full-graph
 backend on one chip, trained end-to-end in sampled mini-batch mode.
 
-Scale (default): 500k users x 50k items, 50M edges, 10 rating levels.
+Scale (default): 400k users x 50k items, 50M edges, 10 rating levels.
 Full-graph is impossible here by arithmetic, not assertion —
 
-* bitdense: (R, Nu, Ni) at 1 bit = 10 * 500e3 * 50e3 / 8 B = 31.25 GB
-  per direction layout, ~2x v5e HBM (16 GB) before params/activations;
-* chunked-ELL / dense: proportionally worse (bf16 dense would be 500 GB).
+* bitdense: (R, Nu, Ni) at 1 bit = 10 * 400e3 * 50e3 / 8 B = 25 GB
+  per direction layout, >1.5x v5e HBM (16 GB) before params/activations;
+* chunked-ELL / dense: proportionally worse (bf16 dense would be 400 GB).
+
+(500k users compiles — XLA memory analysis: 3.7 GB temp / 0.5 GB args —
+but this environment's TPU relay RESOURCE_EXHAUSTEDs loading the model-
+update program above ~400k users regardless of caps/batch/edge count;
+the cliff was bisected at 400k-ok / 425k-fail with raw HBM probes
+allocating 15 GB fine at the same moment.  See BASELINE.md round 5.)
 
 Sampled mode's per-step footprint is O(batch * fanout^L), independent
 of graph size — this is the capability the two-phase plan/execute
@@ -16,12 +22,16 @@ machinery exists for (the TPU answer to the reference's
 whose host-resident graph had the same role on GPU).
 
 ``--plan_device`` moves the ENTIRE planning phase inside the jitted
-step (``graph/device_sampling.py``).  At this scale the planner runs
+step (``graph/device_sampling.py``), split into two dispatches
+(plan program | update program, ``plan_split`` — the fused single
+program trips the relay's program-load limit at this scale while the
+same computation as two programs runs; everything stays on-device
+between them).  At this scale the planner runs
 its DEDUP regime (frontier caps < node counts: capped-unique double
 sorts + binary-search position maps — the true beyond-HBM machinery,
 not the dense-frontier fast path the ML-10M bench rides) and the
 lex-sorted rank-table REMOVE_RATING formulation (the id product
-2.5e10 exceeds int32, which the round-4 edge-key formulation could
+2.0e10 exceeds int32, which the round-4 edge-key formulation could
 not represent).
 
 Prints one JSON line: steps/s, rating-pairs/s, first/last train loss,
@@ -43,9 +53,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
+def _round_up_16(n):
+    return max(16, -(-n // 16) * 16)
+
+
+def run(users=400_000, items=50_000, edges=50_000_000, iters=200,
         batch=4096, fanout=8, plan_device=False, scan=5, seed=7,
-        log=lambda *a: print(*a, flush=True)):
+        holdout=200_000, log=lambda *a: print(*a, flush=True)):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     import jax
 
@@ -69,7 +83,7 @@ def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
 
     rng = np.random.RandomState(seed)
     pairs = csr.node_pair_ids
-    n_hold = min(200_000, pairs.shape[1] // 5)
+    n_hold = min(holdout, pairs.shape[1] // 5)
     hold = rng.permutation(pairs.shape[1])[:n_hold]
     it = DataIterator(g, "user", "movie",
                       test_node_pairs=pairs[:, hold[:n_hold // 2]],
@@ -90,8 +104,12 @@ def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
     model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
                                    len(csr.multi_link), num_edges=csr.nnz)
     t0 = time.time()
+    # remat: at this scale the probed user frontier reaches ~260k rows;
+    # the per-level (N, K, E)/(N, R, E) residuals OOM 16 GB HBM unless
+    # each encoder level recomputes them in the backward.
     trainer = SampledTrainer(model_cfg, it, TrainSettings.from_cfg(cfg),
-                             fanout=fanout, plan_device=plan_device)
+                             fanout=fanout, plan_device=plan_device,
+                             remat=True, plan_split=plan_device)
     setup_s = time.time() - t0
     dedup = {t: trainer.caps[t] < n
              for t, n in (("user", users), ("item", items))}
@@ -123,6 +141,27 @@ def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
     compile_s = time.time() - t0
     log(f"# first chunk (compile) in {compile_s:.0f}s")
     mem("after_first_chunk")
+    # Pre-flight cap growth (the fit() overflow-recovery contract,
+    # replicated here so the TIMED window never trains on rejected
+    # steps): the device planner's dense-side fast path samples
+    # neighbors for EVERY node of a clamped type, so its frontier
+    # needs can exceed the host-probe-derived caps — grow until a
+    # probe chunk reports no overflow (each growth recompiles once).
+    if plan_device:
+        for round_i in range(4):
+            st = jax.device_get(trainer.train_chunk(chunk()))
+            if not int(np.asarray(st["overflow"]).sum()):
+                break
+            need = {t: int(np.asarray(st[f"needed_{t}"]).max())
+                    for t in ("user", "item")}
+            need_ex = int(np.asarray(st["needed_exclude"]).max())
+            log(f"# overflow pre-flight: growing caps to cover {need} "
+                f"/ exclude {need_ex}")
+            trainer._grow_caps(need, slack=1.15)
+            if need_ex > trainer.exclude_cap:
+                trainer.exclude_cap = _round_up_16(2 * need_ex)
+        log(f"# caps after pre-flight: {trainer.caps} "
+            f"(exclude {trainer.exclude_cap})")
     t0 = time.time()
     pending = []
     n_chunks = max(iters // scan, 1)
@@ -177,7 +216,7 @@ def run(users=500_000, items=50_000, edges=50_000_000, iters=200,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--users", type=int, default=500_000)
+    p.add_argument("--users", type=int, default=400_000)
     p.add_argument("--items", type=int, default=50_000)
     p.add_argument("--edges", type=int, default=50_000_000)
     p.add_argument("--iters", type=int, default=200)

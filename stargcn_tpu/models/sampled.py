@@ -365,7 +365,7 @@ def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
 def sampled_forward(params, cfg, plan, noise_user, noise_item,
                     backend: str = "xla", *, train: bool = False,
                     dropout_rng=None, features=None, row_sharding=None,
-                    identity_frontiers=None):
+                    identity_frontiers=None, remat: bool = False):
     """Bottom-up execution of the stacked plan (``STAR-GCN.py:399-460``).
 
     ``plan`` may be a ``StackedPlan`` (converted on the fly) or the
@@ -491,30 +491,74 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
         for li, lvl in enumerate(plan["blocks"][block_id]):
             depth = 0 if cfg.gcn_use_recurrent else li
             layer = enc[f"l{depth}"]
-            new_feats = {}
-            for t, s in (("user", "item"), ("item", "user")):
-                agg_p = layer[f"agg_{t}_{s}"]
-                if use_pallas:
-                    # The Pallas ELL kernel pools pre-projected rows
-                    # (the reference kernel's contract,
-                    # seg_op.cu:573-790) — kept as-is for the
-                    # head-to-head; XLA default pools raw rows first.
-                    proj = multi_link_project(
-                        dropout(feats[s]), agg_p["weight"],
-                        agg_p["bias"],
-                        ordinal_sharing=cfg.agg_ordinal_sharing)
-                    pooled = _ell_aggregate(proj, lvl[t],
-                                            cfg.agg_accum, True)
+
+            def level_body(feats_u, feats_i, lvl=lvl, layer=layer,
+                           drop=None):
+                drop = dropout if drop is None else drop
+                fin = {"user": feats_u, "item": feats_i}
+                out = {}
+                for t, s in (("user", "item"), ("item", "user")):
+                    agg_p = layer[f"agg_{t}_{s}"]
+                    if use_pallas:
+                        # The Pallas ELL kernel pools pre-projected
+                        # rows (the reference kernel's contract,
+                        # seg_op.cu:573-790) — kept as-is for the
+                        # head-to-head; XLA default pools raw rows
+                        # first.
+                        proj = multi_link_project(
+                            drop(fin[s]), agg_p["weight"],
+                            agg_p["bias"],
+                            ordinal_sharing=cfg.agg_ordinal_sharing)
+                        pooled = _ell_aggregate(proj, lvl[t],
+                                                cfg.agg_accum, True)
+                    else:
+                        pooled = _pool_then_project(
+                            drop(fin[s]), agg_p["weight"],
+                            agg_p["bias"], lvl[t], cfg.agg_accum,
+                            cfg.agg_ordinal_sharing)
+                    pooled = drop(act(pooled))  # agg_act then dropout
+                    out_p = layer[f"out_fc_{t}"]
+                    h = pooled @ out_p["kernel"] + out_p["bias"]
+                    # out_act
+                    out[t] = _constrain(act(h), row_sharding)
+                return out["user"], out["item"]
+
+            if remat:
+                # Beyond-HBM memory shape: each level's (N, K, E)
+                # message / (N, R, E) pooled residuals are the HBM
+                # high-water mark at large frontiers (262k-row user
+                # frontiers OOM a 16 GB chip with them saved); under
+                # jax.checkpoint only the level's (N, E) boundary
+                # features are saved and the inner tensors recompute
+                # in the backward — the classic FLOPs-for-HBM trade.
+                # Dropout keys are passed as operands so the
+                # recomputation replays identical masks.
+                if train and cfg.gcn_dropout > 0.0:
+                    rng_iter[0], lkey = jax.random.split(rng_iter[0])
                 else:
-                    pooled = _pool_then_project(
-                        dropout(feats[s]), agg_p["weight"],
-                        agg_p["bias"], lvl[t], cfg.agg_accum,
-                        cfg.agg_ordinal_sharing)
-                pooled = dropout(act(pooled))  # agg_act then dropout
-                out_p = layer[f"out_fc_{t}"]
-                h = pooled @ out_p["kernel"] + out_p["bias"]
-                new_feats[t] = _constrain(act(h), row_sharding)  # out_act
-            feats = new_feats
+                    lkey = jax.random.PRNGKey(0)
+
+                def level_remat(feats_u, feats_i, lkey, lvl=lvl,
+                                layer=layer):
+                    k = [lkey]
+
+                    def drop(x):
+                        if not train or cfg.gcn_dropout == 0.0:
+                            return x
+                        k[0], sub = jax.random.split(k[0])
+                        keep = jax.random.bernoulli(
+                            sub, 1.0 - cfg.gcn_dropout, x.shape)
+                        return jnp.where(
+                            keep, x / (1.0 - cfg.gcn_dropout), 0.0)
+
+                    return level_body(feats_u, feats_i, lvl=lvl,
+                                      layer=layer, drop=drop)
+
+                fu, fi = jax.checkpoint(level_remat)(
+                    feats["user"], feats["item"], lkey)
+            else:
+                fu, fi = level_body(feats["user"], feats["item"])
+            feats = {"user": fu, "item": fi}
 
         # rating head (take_rows: scatter-free gradient — the plain
         # take's backward scatter-add serializes at ~5 us/row on this

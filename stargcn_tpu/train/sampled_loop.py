@@ -84,7 +84,8 @@ class SampledTrainer:
                  save_dir: Optional[str] = None, save_id: int = 0,
                  frontier_caps=None, name_user="user", name_item="movie",
                  backend: str = "xla", cap_slack: float = 1.6,
-                 mesh=None, plan_device: bool = False):
+                 mesh=None, plan_device: bool = False,
+                 remat: bool = False, plan_split: bool = False):
         assert fanout > 0, "SampledTrainer needs a positive fanout"
         if model_cfg.use_fea_proj and model_cfg.use_dae \
                 and not model_cfg.use_embed:
@@ -98,6 +99,11 @@ class SampledTrainer:
         self.save_dir = save_dir
         self.save_id = save_id
         self.backend = backend
+        # per-level jax.checkpoint in the sampled forward: trades
+        # recompute FLOPs for the (N, K, E)/(N, R, E) level residuals —
+        # required at beyond-HBM frontier sizes (a 262k-row frontier's
+        # saved residuals OOM 16 GB HBM), off for speed at bench scales
+        self.remat = bool(remat)
         self.names = (name_user, name_item)
         self._fea = None
         if model_cfg.use_fea_proj:
@@ -238,6 +244,25 @@ class SampledTrainer:
                 static_argnums=(0, 6), donate_argnums=(1, 2))
             self._chunk_step_dev = None
             self._chunk_k_dev = 0
+            # plan_split: the planning phase and the model update run
+            # as TWO jitted programs instead of one fused step.  The
+            # axon TPU relay fails to load/execute single programs past
+            # a composite size/argument threshold at beyond-HBM node
+            # counts (measured: the fused step loads at <= 400k users +
+            # small tables and RESOURCE_EXHAUSTEDs beyond, while the
+            # same computation as two programs runs — the plan program
+            # carries the big graph-table arguments, the update program
+            # carries the parameters, and neither crosses the
+            # threshold).  Everything stays on-device between the two
+            # dispatches; the feed contract is unchanged.
+            self.plan_split = bool(plan_split)
+            if self.plan_split:
+                self._plan_step_dev = jax.jit(
+                    partial(_sampled_plan_step_dev, self),
+                    static_argnums=(0, 4))
+                self._update_step_dev = jax.jit(
+                    partial(_sampled_update_step_dev, self),
+                    static_argnums=(0,), donate_argnums=(1, 2))
 
     # ------------------------------ setup -----------------------------------
 
@@ -446,6 +471,20 @@ class SampledTrainer:
         if self.plan_device:
             caps = (self.caps["user"], self.caps["item"],
                     self.exclude_cap)
+            if self.plan_split:
+                dplan, pairs_pos, aux, feed, rng2 = self._plan_step_dev(
+                    caps, self._dev_tables, ibuf, fbuf, spec, step_key)
+                ident = tuple(
+                    bool(min(self.caps[t], n) >= n)
+                    and bool(self._dev_tables.ids_iota[i])
+                    for i, (t, n) in enumerate(
+                        (("user", self._dev_tables.n["user"]),
+                         ("item", self._dev_tables.n["item"]))))
+                self.params, self.opt_state, stats = \
+                    self._update_step_dev(ident, self.params,
+                                          self.opt_state, dplan,
+                                          pairs_pos, aux, feed, rng2)
+                return stats
             self.params, self.opt_state, stats = self._train_step_dev(
                 caps, self.params, self.opt_state, self._dev_tables,
                 ibuf, fbuf, spec, step_key)
@@ -461,6 +500,12 @@ class SampledTrainer:
         come back stacked along a leading k axis.  The full-graph
         ``Trainer.train_chunk`` is the same design (``train/loop.py``)."""
         k = len(batches)
+        if self.plan_device and getattr(self, "plan_split", False):
+            # split-dispatch mode: two programs per step cannot fuse
+            # into one scan; dispatch steps back to back (they still
+            # pipeline — nothing blocks until stats are fetched)
+            stats_list = [self.train_iteration(b) for b in batches]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
         packed = [self._pack_batch(b) for b in batches]
         spec = packed[-1][2]
         if self.plan_device:
@@ -823,7 +868,8 @@ def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
                            backend=trainer.backend, train=train,
                            dropout_rng=rng, features=trainer._fea,
                            row_sharding=trainer._row_shard,
-                           identity_frontiers=identity)
+                           identity_frontiers=identity,
+                           remat=trainer.remat)
 
 
 def _sampled_train_step(trainer, params, opt_state, ibuf, fbuf, spec, rng):
@@ -895,19 +941,11 @@ def _sampled_train_chunk(trainer, params, opt_state, ibufs, fbufs, spec,
     return params, opt_state, stats
 
 
-def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
-                            fbuf, spec, rng):
-    """Device-planned step: the ENTIRE planning phase (frontier
-    construction, fanout sampling, dedup, supports, REMOVE_RATING,
-    position maps) runs inside this jit via ``DevicePlanner`` — the feed
-    is just pair ids + noise + recon ids (~0.4 MB vs ~15 MB of host
-    plan at ML-10M).  An overflowed frontier cap rejects the whole
-    update in-program (parameters pass through) and reports the needed
-    sizes in the stats, so the driver can grow caps and recompile
-    without ever training on a truncated plan."""
+def _device_plan_phase(trainer, caps, tab, feed, rng):
+    """In-jit planning phase shared by the fused and split device
+    steps: batch ids -> full stacked-plan pytree via ``DevicePlanner``."""
     from stargcn_tpu.graph.device_sampling import DevicePlanner
 
-    feed = unpack_tree(ibuf, fbuf, spec)
     bu_ind = jnp.take(tab.id2ind["user"], feed["bu"])
     bi_ind = jnp.take(tab.id2ind["item"], feed["bi"])
     rng, plan_key = jax.random.split(rng)
@@ -918,10 +956,18 @@ def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
     dplan, pairs_pos, aux = planner.build(
         tab, plan_key, bu_ind, bi_ind, feed["valid"],
         feed["recon_u"], feed["recon_i"], exclude=trainer.do_remove)
+    return dplan, pairs_pos, aux, rng
+
+
+def _device_update_phase(trainer, params, opt_state, dplan, pairs_pos,
+                         aux, feed, rng, identity):
+    """Loss + Adam update over a device-built plan, with the in-program
+    overflow rejection contract (parameters pass through unchanged on
+    an overflowed step; stats report the needed sizes)."""
     new_params, new_opt, stats = _loss_update(
         trainer, params, opt_state, dplan, pairs_pos, feed["noise_u"],
         feed["noise_i"], feed["gt"], feed["valid"], rng,
-        identity=aux["identity"])
+        identity=identity)
     keep = jnp.logical_not(aux["overflow"])
     params = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
                           new_params, params)
@@ -936,6 +982,46 @@ def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
     stats["needed_item"] = aux["needed_item"]
     stats["needed_exclude"] = aux["needed_exclude"]
     return params, opt_state, stats
+
+
+def _sampled_train_step_dev(trainer, caps, params, opt_state, tab, ibuf,
+                            fbuf, spec, rng):
+    """Device-planned step: the ENTIRE planning phase (frontier
+    construction, fanout sampling, dedup, supports, REMOVE_RATING,
+    position maps) runs inside this jit via ``DevicePlanner`` — the feed
+    is just pair ids + noise + recon ids (~0.4 MB vs ~15 MB of host
+    plan at ML-10M).  An overflowed frontier cap rejects the whole
+    update in-program (parameters pass through) and reports the needed
+    sizes in the stats, so the driver can grow caps and recompile
+    without ever training on a truncated plan."""
+    feed = unpack_tree(ibuf, fbuf, spec)
+    dplan, pairs_pos, aux, rng = _device_plan_phase(trainer, caps, tab,
+                                                    feed, rng)
+    return _device_update_phase(trainer, params, opt_state, dplan,
+                                pairs_pos, aux, feed, rng,
+                                aux["identity"])
+
+
+def _sampled_plan_step_dev(trainer, caps, tab, ibuf, fbuf, spec, rng):
+    """Split-dispatch program 1 (beyond-HBM scales): planning only.
+    Outputs stay device-resident for program 2; ``aux['identity']``
+    (static python bools) is stripped — the split update receives it as
+    a static argument instead."""
+    feed = unpack_tree(ibuf, fbuf, spec)
+    dplan, pairs_pos, aux, rng = _device_plan_phase(trainer, caps, tab,
+                                                    feed, rng)
+    aux = {k: v for k, v in aux.items() if k != "identity"}
+    return dplan, pairs_pos, aux, feed, rng
+
+
+def _sampled_update_step_dev(trainer, identity_t, params, opt_state,
+                             dplan, pairs_pos, aux, feed, rng):
+    """Split-dispatch program 2: model update over the device-resident
+    plan.  ``identity_t`` = (user, item) identity-frontier bools,
+    static (hashable) so a cap growth that flips them retraces."""
+    identity = {"user": identity_t[0], "item": identity_t[1]}
+    return _device_update_phase(trainer, params, opt_state, dplan,
+                                pairs_pos, aux, feed, rng, identity)
 
 
 def _sampled_train_chunk_dev(trainer, caps, params, opt_state, tab, ibufs,

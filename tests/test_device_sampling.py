@@ -364,6 +364,30 @@ def test_trainer_device_plan_on_mesh_matches_single_device():
         jax.device_get(tr_s.params), jax.device_get(tr_m.params))
 
 
+def test_remat_forward_matches_default(setup):
+    """remat=True (per-level jax.checkpoint — the beyond-HBM memory
+    shape) must be numerically identical to the default forward, and
+    its gradients must match (dropout off: the remat path re-keys
+    dropout per level, so only the deterministic paths are exactly
+    comparable)."""
+    g, csr, cfg, params, pu, pi, nu, ni, max_deg = setup
+    caps = {"user": 24, "item": 20}  # dedup regime
+    dev, _ = _device_plan_tree(g, cfg, pu, pi, caps, max_deg, (pu, pi))
+    out_a = sampled_forward(params, cfg, dev, nu, ni)
+    out_b = sampled_forward(params, cfg, dev, nu, ni, remat=True)
+    np.testing.assert_array_equal(np.asarray(out_a["pred_ratings"]),
+                                  np.asarray(out_b["pred_ratings"]))
+
+    def loss(p, remat):
+        out = sampled_forward(p, cfg, dev, nu, ni, remat=remat)
+        return jnp.sum(out["pred_ratings"] ** 2)
+
+    ga = jax.grad(loss)(params, False)
+    gb = jax.grad(loss)(params, True)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-6, atol=1e-6), ga, gb)
+
+
 def test_identity_frontier_shortcuts_match_gather_path(setup):
     """aux['identity'] (dense frontiers + iota ids) lets the forward
     read tables with an elementwise mask and pass cross-block features
@@ -386,3 +410,30 @@ def test_identity_frontier_shortcuts_match_gather_path(setup):
                 np.asarray(out_i["pred_embed"][b][t]),
                 np.asarray(out_g["pred_embed"][b][t]),
                 rtol=1e-6, atol=1e-6)
+
+
+def test_plan_split_matches_fused_step():
+    """plan_split (two dispatches: plan program | update program — the
+    beyond-HBM relay shape) must produce the SAME parameter update as
+    the fused single-program step for identical batches and seed."""
+    tra = _tiny_trainer(True)
+    trb = _tiny_trainer(True, plan_split=True)
+    jax.tree.map(np.testing.assert_array_equal, tra.params, trb.params)
+    rs_a = tra.data_iter.rating_sampler(batch_size=tra.train_batch,
+                                        segment="train")
+    rc_a = tra.data_iter.recon_nodes_sampler(batch_size=16)
+    rs_b = trb.data_iter.rating_sampler(batch_size=trb.train_batch,
+                                        segment="train")
+    rc_b = trb.data_iter.recon_nodes_sampler(batch_size=16)
+    for _ in range(3):
+        ba = tra._make_batch(rs_a, rc_a)
+        bb = trb._make_batch(rs_b, rc_b)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+        sa = tra.train_iteration(ba)
+        sb = trb.train_iteration(bb)
+        np.testing.assert_allclose(float(sa["loss"]), float(sb["loss"]),
+                                   rtol=1e-6)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        x, y, rtol=1e-6, atol=1e-6), jax.device_get(tra.params),
+        jax.device_get(trb.params))
