@@ -83,6 +83,19 @@ def main():
                              "with-replacement fanout sampling (device "
                              "RNG) instead of the host path's Floyd "
                              "draws")
+    parser.add_argument("--plan_split", action="store_true",
+                        help="with --plan_device: run planning and the "
+                             "model update as TWO device-resident "
+                             "programs instead of one fused step — "
+                             "required at beyond-HBM node counts where "
+                             "the fused program trips this "
+                             "environment's relay program-load limit "
+                             "(BASELINE.md round 5)")
+    parser.add_argument("--remat", action="store_true",
+                        help="sampled mode: per-level jax.checkpoint — "
+                             "recompute the (N,K,E)/(N,R,E) level "
+                             "residuals in the backward; required at "
+                             "250k+-row frontiers on 16 GB HBM")
     args = parser.parse_args()
 
     if args.prefetch:
@@ -194,7 +207,8 @@ def main():
             model_cfg, data_iter, TrainSettings.from_cfg(cfg),
             fanout=fanout, save_dir=save_dir, save_id=save_id,
             name_user=name_user, name_item=name_item, mesh=mesh,
-            backend=sampled_backend, plan_device=args.plan_device)
+            backend=sampled_backend, plan_device=args.plan_device,
+            plan_split=args.plan_split, remat=args.remat)
     else:
         trainer = Trainer(model_cfg, data_iter,
                           TrainSettings.from_cfg(cfg),
