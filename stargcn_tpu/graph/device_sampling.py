@@ -58,14 +58,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# REMOVE_RATING exclusion picks between two scatter-free formulations
-# (see ``DevicePlanner.build``): the one-hot-MXU hit test materialises a
-# (batch, n_type) bf16 one-hot per direction, so it is gated on that
-# product; beyond it the lex-sorted rank-table path (which scales to
-# arbitrary node counts) is used.  2^29 elements = 1 GiB bf16; ML-10M
-# (4096 x 69878 = 2.9e8) is inside, the 500k-user beyond-HBM regime is
-# outside.
+# REMOVE_RATING exclusion picks between three scatter-free
+# formulations PER TYPE (see ``DevicePlanner.build``):
+#
+# * node-space one-hot (dense frontier, B * n_t within this budget):
+#   the (batch, n_type) bf16 one-hot materialises once per step and
+#   also yields the removal-adjusted degree counts as column sums.
+#   2^29 elements = 1 GiB bf16; ML-10M (4096 x 69878 = 2.9e8) is
+#   inside, 400k-user beyond-HBM is outside;
 EXCLUDE_ONEHOT_MAX_ELEMS = 1 << 29
+# * slot-space one-hot (any frontier, B * cap_t within this budget):
+#   the hit test contracts over FRONTIER SLOTS via the chunked
+#   ``onehot_segment_sum`` (the one-hot never materialises beyond one
+#   chunk), so it scales with the frontier cap instead of the node
+#   count — at the 400k x 50k beyond-HBM scale this replaced a
+#   654 ms/step (cap, K, Ex) candidate compare with ~ms of MXU
+#   streams.  EXACT (no exclude_cap / exclusion overflow);
+EXCLUDE_SLOT_ONEHOT_MAX_ELEMS = 1 << 31
+# * lex-sorted rank tables + bounded candidate compare: the
+#   any-scale fallback beyond both budgets.
 
 
 @jax.tree_util.register_pytree_node_class
@@ -317,51 +328,53 @@ class DevicePlanner:
         needed_ex = jnp.int32(0)
         if exclude:
             B = bu_ind.shape[0]
-            use_onehot = all(
-                dense[t] and B * tab.n[t] <= EXCLUDE_ONEHOT_MAX_ELEMS
-                for t in ("user", "item"))
             exdat = {}
             rem = {}
             ok_b = pairs_valid > 0
             for t, rows_b, cols_b in (("user", bu_ind, bi_ind),
                                       ("item", bi_ind, bu_ind)):
                 n_t = tab.n[t]
-                if use_onehot:
-                    # invalid batch slots -> row n_t (an all-zero
-                    # one-hot row) and partner -1 (matches no neighbor)
-                    rows_m = jnp.where(ok_b, rows_b, n_t)
-                    cols_m = jnp.where(ok_b, cols_b, -1)
+                # invalid batch slots -> row n_t (all-zero one-hot row
+                # / sorts-last sentinel) and partner -1 (matches no
+                # neighbor)
+                rows_m = jnp.where(ok_b, rows_b, n_t)
+                cols_m = jnp.where(ok_b, cols_b, -1)
+                if dense[t] and B * n_t <= EXCLUDE_ONEHOT_MAX_ELEMS:
                     oh = (rows_m[:, None]
                           == jnp.arange(n_t, dtype=jnp.int32)[None, :]
                           ).astype(jnp.bfloat16)          # (B, n_t)
                     exdat[t] = ("onehot", oh, rows_m, cols_m)
                     # exact f32 accumulation: 0/1 products, count <= B
                     rem[t] = jnp.sum(oh, axis=0, dtype=jnp.float32)
+                    continue
+                rows_sorted, partner = jax.lax.sort(
+                    (rows_m.astype(jnp.int32),
+                     cols_m.astype(jnp.int32)), num_keys=2)
+                iota_n = jnp.arange(n_t + 1, dtype=jnp.int32)
+                # ranks of row boundaries in the sorted row space
+                bounds = jnp.searchsorted(rows_sorted, iota_n)
+                start, cnt = bounds[:-1], jnp.diff(bounds)
+                rem[t] = cnt.astype(jnp.float32)
+                if B * cap[t] <= EXCLUDE_SLOT_ONEHOT_MAX_ELEMS:
+                    exdat[t] = ("slot", rows_m, cols_m)
                 else:
-                    rows_s = jnp.where(ok_b, rows_b, n_t)
-                    cols_s = jnp.where(ok_b, cols_b, -1)
-                    rows_sorted, partner = jax.lax.sort(
-                        (rows_s.astype(jnp.int32),
-                         cols_s.astype(jnp.int32)), num_keys=2)
-                    iota_n = jnp.arange(n_t + 1, dtype=jnp.int32)
-                    # ranks of row boundaries in the sorted row space
-                    bounds = jnp.searchsorted(rows_sorted, iota_n)
-                    start, cnt = bounds[:-1], jnp.diff(bounds)
                     exdat[t] = ("ranktab", start.astype(jnp.int32),
                                 cnt.astype(jnp.int32), partner, B)
-                    rem[t] = cnt.astype(jnp.float32)
                     needed_ex = jnp.maximum(needed_ex, cnt.max())
 
-        def excl_mask(t, rows_safe, nbr, ident=False):
-            if exdat is None:
+        def excl_mask(t, frontier_t, nbr, ident=False):
+            """keep-mask over the sampled slots of type ``t``'s CURRENT
+            level (``frontier_t`` = the sorted level array the sampling
+            ran over; ``arange(n)`` on the dense/identity path)."""
+            if exdat is None or t not in exdat:
                 return None
-            if exdat[t][0] == "onehot":
+            mode = exdat[t][0]
+            if mode == "onehot":
                 _, oh, rows_m, cols_m = exdat[t]
                 # hit[v, k] = #batch edges (v, nbr[v, k]): gather the
                 # batch rows' sampled neighbors (B, K), compare against
                 # each edge's partner, contract back over the batch on
-                # the MXU.  rows_safe is the identity here (onehot mode
-                # requires dense frontiers), so nbr rows ARE node rows.
+                # the MXU.  Dense path: nbr rows ARE node rows.
                 nbr_b = jnp.take(nbr, jnp.minimum(rows_m, nbr.shape[0] - 1),
                                  axis=0)                    # (B, K)
                 h = (nbr_b == cols_m[:, None]).astype(jnp.bfloat16)
@@ -369,10 +382,28 @@ class DevicePlanner:
                     oh, h, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (n_t, K)
                 return hits < 0.5
+            if mode == "slot":
+                from stargcn_tpu.ops.gather import onehot_segment_sum
+                _, rows_m, cols_m = exdat[t]
+                cap_t = frontier_t.shape[0]
+                # slot of each batch row in THIS level's sorted
+                # frontier (levels grow monotonically, so every valid
+                # batch row is present; missing/invalid -> seg cap_t,
+                # which onehot_segment_sum drops)
+                pos, okq = _positions(frontier_t, tab.n[t], rows_m,
+                                      query_valid=(rows_m < tab.n[t]))
+                seg = jnp.where(okq > 0, pos, cap_t)
+                nbr_b = jnp.take(nbr, jnp.minimum(seg, cap_t - 1),
+                                 axis=0)                    # (B, K)
+                h = ((nbr_b == cols_m[:, None])
+                     & (okq > 0)[:, None]).astype(jnp.bfloat16)
+                hits = onehot_segment_sum(h, seg, cap_t)    # (cap, K)
+                return hits < 0.5
             _, start, cnt, partner, B = exdat[t]
             j = jnp.arange(self.exclude_cap, dtype=jnp.int32)
-            # ident (dense path): rows_safe == arange(n_t), so the
-            # per-row start/count gathers are identities
+            rows_safe = jnp.where(frontier_t < tab.n[t], frontier_t, 0)
+            # ident (dense path): rows == arange(n_t), so the per-row
+            # start/count gathers are identities
             st_rows = start if ident else jnp.take(start, rows_safe)
             cn_rows = cnt if ident else jnp.take(cnt, rows_safe)
             idx = jnp.minimum(st_rows[:, None] + j, B - 1)
@@ -434,11 +465,11 @@ class DevicePlanner:
                 samp = {}
                 for t, other, k in (("user", "item", ku),
                                     ("item", "user", ki)):
+                    fr_t = lvl_arr(t, cur[t])
                     nbr, rating, weight, slot_ok, rows_safe = \
-                        self._sample_level(tab, t, other,
-                                           lvl_arr(t, cur[t]), k, rem,
+                        self._sample_level(tab, t, other, fr_t, k, rem,
                                            ident=dense[t])
-                    keep = excl_mask(t, rows_safe, nbr, ident=dense[t])
+                    keep = excl_mask(t, fr_t, nbr, ident=dense[t])
                     if keep is not None:
                         weight = weight * keep
                     samp[t] = (nbr, rating, weight, slot_ok)

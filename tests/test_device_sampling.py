@@ -136,12 +136,20 @@ def test_device_plan_grads_match_host_at_full_fanout(setup):
         a, b, rtol=5e-5, atol=5e-5), gh, gd)
 
 
-def test_device_plan_matches_host_in_dedup_regime():
+@pytest.mark.parametrize("excl_mode", ["slot", "ranktab"])
+def test_device_plan_matches_host_in_dedup_regime(excl_mode,
+                                                  monkeypatch):
     """cap < n exercises the capped-unique + position-map machinery
     (the dense-frontier identity path is bypassed); at full fanout the
-    device plan must still match the host plan exactly."""
+    device plan must still match the host plan exactly — under BOTH
+    dedup-regime exclusion formulations (slot-space one-hot, and the
+    any-scale rank-table fallback forced by zeroing its budget)."""
+    from stargcn_tpu.graph import device_sampling as ds
     from stargcn_tpu.graph.device import BipartiteGraphData
     from stargcn_tpu.models import STARGCN, STARGCNConfig
+
+    if excl_mode == "ranktab":
+        monkeypatch.setattr(ds, "EXCLUDE_SLOT_ONEHOT_MAX_ELEMS", 0)
 
     g = synthetic_graph(num_users=200, num_items=150, num_edges=600,
                         rating_values=(1, 2, 3), seed=9)
