@@ -158,81 +158,115 @@ def bench_ml100k_pair():
     pipeline).  K=100 steps fuse per dispatch (swept in {10, 50, 100,
     200} through this environment's relay: fastest and lowest-variance).
     dense: host-side batch sampling + transfer (the reference-shaped
-    input pipeline), K=10."""
+    input pipeline), K=10.
+
+    Arm failures stay ISOLATED: a relay error in one variant records
+    {"error": ...} for that scenario only — the other arm's result (and
+    the primary metric) survives."""
     import jax
     import numpy as np
 
     from __graft_entry__ import _make_trainer
 
-    tr_d = _make_trainer(batch=10000)
-    tr_d.s.device_sampler = True
-    cfgm = tr_d.model_cfg
-    E = int(np.asarray(tr_d.graph_data.edge_pad_mask).sum())
-    edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
-    KD = 100
-    for _ in range(3):
-        dstats = tr_d.train_chunk_dev(KD)
-    jax.block_until_ready(dstats["loss"])
-
-    tr_h = _make_trainer(batch=10000)
-    KH = 10
-    rating_sampler = tr_h.data_iter.rating_sampler(
-        tr_h.train_batch, "train")
-    recon_sampler = tr_h.data_iter.recon_nodes_sampler(batch_size=10**6)
-
-    def pull_chunk():
-        rbs, cbs = [], []
-        for _ in range(KH):
-            rbs.append(next(rating_sampler))
-            noise, _, ids = next(recon_sampler)
-            cbs.append(tr_h.prepare_recon_batch(noise, ids))
-        return rbs, cbs
-
-    for _ in range(3):  # compile + runtime warmup
-        rbs, cbs = pull_chunk()
-        hstats = tr_h.train_chunk(rbs, cbs)
-    jax.block_until_ready(hstats["loss"])
-
-    dev_w, host_w = [], []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        for _ in range(5):
+    KD, KH = 100, 10
+    dev = {"error": "setup did not run"}
+    dense = {"error": "setup did not run"}
+    tr_d = tr_h = None
+    try:
+        tr_d = _make_trainer(batch=10000)
+        tr_d.s.device_sampler = True
+        cfgm = tr_d.model_cfg
+        E = int(np.asarray(tr_d.graph_data.edge_pad_mask).sum())
+        edges_per_step = cfgm.nblocks * len(cfgm.agg_units) * 2 * E
+        for _ in range(3):
             dstats = tr_d.train_chunk_dev(KD)
         jax.block_until_ready(dstats["loss"])
-        dev_w.append((time.perf_counter() - t0) / (5 * KD))
-        t0 = time.perf_counter()
-        for _ in range(3):
+    except Exception as e:
+        traceback.print_exc()
+        dev = {"error": f"{type(e).__name__}: {e}"}
+        tr_d = None
+    try:
+        tr_h = _make_trainer(batch=10000)
+        E = int(np.asarray(tr_h.graph_data.edge_pad_mask).sum())
+        edges_per_step = (tr_h.model_cfg.nblocks
+                          * len(tr_h.model_cfg.agg_units) * 2 * E)
+        rating_sampler = tr_h.data_iter.rating_sampler(
+            tr_h.train_batch, "train")
+        recon_sampler = tr_h.data_iter.recon_nodes_sampler(
+            batch_size=10**6)
+
+        def pull_chunk():
+            rbs, cbs = [], []
+            for _ in range(KH):
+                rbs.append(next(rating_sampler))
+                noise, _, ids = next(recon_sampler)
+                cbs.append(tr_h.prepare_recon_batch(noise, ids))
+            return rbs, cbs
+
+        for _ in range(3):  # compile + runtime warmup
             rbs, cbs = pull_chunk()
             hstats = tr_h.train_chunk(rbs, cbs)
         jax.block_until_ready(hstats["loss"])
-        host_w.append((time.perf_counter() - t0) / (3 * KH))
+    except Exception as e:
+        traceback.print_exc()
+        dense = {"error": f"{type(e).__name__}: {e}"}
+        tr_h = None
 
-    dt_d = _median(dev_w)
-    rate_d = edges_per_step / dt_d
-    devsampler = {
-        "edge_msgs_per_s": round(rate_d, 1),
-        "step_ms": round(dt_d * 1e3, 3),
-        # the dispatch carries only RNG keys: the step wall IS the
-        # device-path wall (nothing host-side to exclude)
-        "device_ms": round(dt_d * 1e3, 3),
-        "backend": cfgm.backend,
-        "vs_v100_kernel_bound": round(rate_d / V100_KERNEL_BOUND, 3),
-        **_spread_fields(dev_w),
-        **_mfu_fields(cfgm, E, tr_d.train_batch, dt_d)}
-    dt_h = _median(host_w)
-    rate_h = edges_per_step / dt_h
-    # device path alone: re-dispatch the SAME chunk (host sampling
-    # excluded; transfers still paid — they are part of this scenario)
-    dev = _time_fixed(lambda: tr_h.train_chunk(rbs, cbs), iters=2) / KH
-    dense = {
-        "edge_msgs_per_s": round(rate_h, 1),
-        "step_ms": round(dt_h * 1e3, 3),
-        "device_ms": round(dev * 1e3, 3),
-        "backend": tr_h.model_cfg.backend,
-        "vs_v100_kernel_bound": round(rate_h / V100_KERNEL_BOUND, 3),
-        **_spread_fields(host_w),
-        **_mfu_fields(tr_h.model_cfg, E, tr_h.train_batch, dt_h)}
-    return devsampler, dense
+    dev_w, host_w = [], []
+    for _ in range(7):
+        if tr_d is not None:
+            try:
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    dstats = tr_d.train_chunk_dev(KD)
+                jax.block_until_ready(dstats["loss"])
+                dev_w.append((time.perf_counter() - t0) / (5 * KD))
+            except Exception as e:
+                traceback.print_exc()
+                dev = {"error": f"{type(e).__name__}: {e}"}
+                tr_d = None
+        if tr_h is not None:
+            try:
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    rbs, cbs = pull_chunk()
+                    hstats = tr_h.train_chunk(rbs, cbs)
+                jax.block_until_ready(hstats["loss"])
+                host_w.append((time.perf_counter() - t0) / (3 * KH))
+            except Exception as e:
+                traceback.print_exc()
+                dense = {"error": f"{type(e).__name__}: {e}"}
+                tr_h = None
+
+    if dev_w:
+        dt_d = _median(dev_w)
+        rate_d = edges_per_step / dt_d
+        dev = {
+            "edge_msgs_per_s": round(rate_d, 1),
+            "step_ms": round(dt_d * 1e3, 3),
+            # the dispatch carries only RNG keys: the step wall IS the
+            # device-path wall (nothing host-side to exclude)
+            "device_ms": round(dt_d * 1e3, 3),
+            "backend": tr_d.model_cfg.backend,
+            "vs_v100_kernel_bound": round(rate_d / V100_KERNEL_BOUND, 3),
+            **_spread_fields(dev_w),
+            **_mfu_fields(tr_d.model_cfg, E, tr_d.train_batch, dt_d)}
+    if host_w:
+        dt_h = _median(host_w)
+        rate_h = edges_per_step / dt_h
+        # device path alone: re-dispatch the SAME chunk (host sampling
+        # excluded; transfers still paid — part of this scenario)
+        fx = _time_fixed(lambda: tr_h.train_chunk(rbs, cbs),
+                         iters=2) / KH
+        dense = {
+            "edge_msgs_per_s": round(rate_h, 1),
+            "step_ms": round(dt_h * 1e3, 3),
+            "device_ms": round(fx * 1e3, 3),
+            "backend": tr_h.model_cfg.backend,
+            "vs_v100_kernel_bound": round(rate_h / V100_KERNEL_BOUND, 3),
+            **_spread_fields(host_w),
+            **_mfu_fields(tr_h.model_cfg, E, tr_h.train_batch, dt_h)}
+    return dev, dense
 
 
 def _build_ml10m():
@@ -294,43 +328,57 @@ def bench_ml10m_fullgraph(windows=4, scan=5):
 
     _, csr, it = ml10m()
     arms = {}
+    errors = {}
     for backend in ("bitdense", "ell"):
-        cfg = _ml10m_cfg()
-        cfg.KERNEL.BACKEND = backend
-        cfg.TRAIN.SCAN_STEPS = scan
-        model_cfg = build_model_config(cfg, csr.shape[0], csr.shape[1],
-                                       len(csr.multi_link),
-                                       num_edges=csr.nnz)
-        trainer = Trainer(model_cfg, it, TrainSettings.from_cfg(cfg))
-        rs = it.rating_sampler(batch_size=trainer.train_batch,
-                               segment="train")
-        recon = it.recon_nodes_sampler(
-            batch_size=cfg.TRAIN.RECON_BATCH_SIZE)
+        try:
+            cfg = _ml10m_cfg()
+            cfg.KERNEL.BACKEND = backend
+            cfg.TRAIN.SCAN_STEPS = scan
+            model_cfg = build_model_config(cfg, csr.shape[0],
+                                           csr.shape[1],
+                                           len(csr.multi_link),
+                                           num_edges=csr.nnz)
+            trainer = Trainer(model_cfg, it, TrainSettings.from_cfg(cfg))
+            rs = it.rating_sampler(batch_size=trainer.train_batch,
+                                   segment="train")
+            recon = it.recon_nodes_sampler(
+                batch_size=cfg.TRAIN.RECON_BATCH_SIZE)
 
-        def pull(trainer=trainer, rs=rs, recon=recon):
-            noise_dict, _, all_ids = next(recon)
-            return (next(rs),
-                    trainer.prepare_recon_batch(noise_dict, all_ids))
+            def pull(trainer=trainer, rs=rs, recon=recon):
+                noise_dict, _, all_ids = next(recon)
+                return (next(rs),
+                        trainer.prepare_recon_batch(noise_dict, all_ids))
 
-        def run_chunk(trainer=trainer, pull=pull):
-            batches = [pull() for _ in range(scan)]
-            return trainer.train_chunk([b[0] for b in batches],
-                                       [b[1] for b in batches])
+            def run_chunk(trainer=trainer, pull=pull):
+                batches = [pull() for _ in range(scan)]
+                return trainer.train_chunk([b[0] for b in batches],
+                                           [b[1] for b in batches])
 
-        stats = run_chunk()  # compile
-        jax.block_until_ready(stats["loss"])
-        arms[backend] = dict(trainer=trainer, model_cfg=model_cfg,
-                             pull=pull, run=run_chunk, windows=[])
+            stats = run_chunk()  # compile
+            jax.block_until_ready(stats["loss"])
+            arms[backend] = dict(trainer=trainer, model_cfg=model_cfg,
+                                 pull=pull, run=run_chunk, windows=[])
+        except Exception as e:  # arm-isolated (see bench_ml100k_pair)
+            traceback.print_exc()
+            errors[backend] = {"error": f"{type(e).__name__}: {e}"}
 
     for _ in range(windows):
-        for a in arms.values():  # backends rotate inside the window
-            t0 = time.perf_counter()
-            stats = a["run"]()
-            jax.block_until_ready(stats["loss"])
-            a["windows"].append((time.perf_counter() - t0) / scan)
+        for backend, a in list(arms.items()):  # rotate inside window
+            try:
+                t0 = time.perf_counter()
+                stats = a["run"]()
+                jax.block_until_ready(stats["loss"])
+                a["windows"].append((time.perf_counter() - t0) / scan)
+            except Exception as e:
+                traceback.print_exc()
+                errors[backend] = {"error": f"{type(e).__name__}: {e}"}
+                del arms[backend]
 
     out = []
     for backend in ("bitdense", "ell"):
+        if backend not in arms or not arms[backend]["windows"]:
+            out.append(errors.get(backend, {"error": "no windows"}))
+            continue
         a = arms[backend]
         trainer, model_cfg = a["trainer"], a["model_cfg"]
         dt = _median(a["windows"])
@@ -652,7 +700,9 @@ def bench_mfu_widesweep():
         dt_on = _median(arms["on"]["windows"])
         trainer = arms["off"]["trainer"]
         E_act = int(np.asarray(trainer.graph_data.edge_pad_mask).sum())
-        f = stargcn_step_flops(model_cfg, E_act, trainer.train_batch)
+        # the off-arm's OWN config (not the loop-leaked on-arm one)
+        f = stargcn_step_flops(trainer.model_cfg, E_act,
+                               trainer.train_batch)
         sweep.append({
             **{k: case[k] for k in ("embed", "agg", "out", "layers")},
             "step_ms": round(dt * 1e3, 2),

@@ -57,7 +57,12 @@ def main():
     scan = args.scan
 
     def make_arm(name, onehot_max, remove):
+        # zero BOTH one-hot budgets for the ranktab arm — otherwise the
+        # planner falls through to the slot-space one-hot and the arm
+        # measures the wrong formulation (round-5 review finding)
         device_sampling.EXCLUDE_ONEHOT_MAX_ELEMS = onehot_max
+        device_sampling.EXCLUDE_SLOT_ONEHOT_MAX_ELEMS = (
+            onehot_max if onehot_max == 0 else 1 << 31)
         c = bench._ml10m_cfg()
         c.TRAIN.RATING_BATCH_SIZE = 4096
         c.TRAIN.RECON_BATCH_SIZE = 1024
@@ -92,8 +97,7 @@ def main():
             f"{n}={a['windows'][-1]:.1f}ms" for n, a in arms.items()),
             flush=True)
 
-    def med(xs):
-        return sorted(xs)[len(xs) // 2]
+    med = bench._median
 
     out = {n: {"step_ms_median": round(med(a["windows"]), 1),
                "step_ms_all": [round(x, 1) for x in a["windows"]]}

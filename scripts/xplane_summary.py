@@ -55,9 +55,17 @@ def fields(buf):
             yield fn, buf[i:i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > n:
+                raise TruncatedProto(
+                    f"fixed32 field {fn} runs past the buffer at "
+                    f"offset {i}/{n}")
             yield fn, buf[i:i + 4]
             i += 4
         elif wt == 1:
+            if i + 8 > n:
+                raise TruncatedProto(
+                    f"fixed64 field {fn} runs past the buffer at "
+                    f"offset {i}/{n}")
             yield fn, buf[i:i + 8]
             i += 8
         else:

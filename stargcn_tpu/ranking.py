@@ -31,7 +31,9 @@ Protocol notes (pinned so the numbers are comparable run-to-run):
   ties resolve in the positive's favour (deterministic, and matches
   the common heap-based reference implementations);
 * ``HR@K = mean(rank < K)``; ``NDCG@K = mean(1/log2(rank+2))`` over
-  hits, 0 otherwise.
+  hits, 0 otherwise — averaged over RANKABLE positives (a user who
+  rated every item has no drawable negatives; such positives are
+  excluded from both numerator and denominator).
 """
 
 from __future__ import annotations
@@ -214,7 +216,16 @@ def rank_eval(artifact, user_inds, item_inds, neg_gen: NegEdgeGenerator,
     nb = -(-P // B)
     pad = nb * B - P
     uu_p = np.pad(uu.astype(np.int32), (0, pad)).reshape(nb, B)
-    valid = np.pad(np.ones(P, np.float32), (0, pad)).reshape(nb, B)
+    # A user who rated EVERY item has no drawable negatives (free == 0)
+    # — its positives are excluded from the metric (and the divisor)
+    # rather than silently ranked against a clamped true edge.
+    rankable = np.asarray(neg_gen._by_row.free, np.int64)[uu] > 0
+    P_eff = int(rankable.sum())
+    if P_eff == 0:
+        raise ValueError(
+            "rank_eval: every positive's user has zero non-edges "
+            "(free == 0) — nothing is rankable")
+    valid = np.pad(rankable.astype(np.float32), (0, pad)).reshape(nb, B)
     if negatives == "device":
         indptr, cols_sorted, free, max_deg = _gen_device_tables(neg_gen)
         # iterations to collapse a width-max_deg bisect interval
@@ -242,8 +253,9 @@ def rank_eval(artifact, user_inds, item_inds, neg_gen: NegEdgeGenerator,
     else:
         raise ValueError(f"negatives must be 'device' or 'host', got "
                          f"{negatives!r}")
-    return {"hr": float(hr_sum) / P, "ndcg": float(ndcg_sum) / P, "k": k,
-            "num_negatives": num_negatives, "num_positives": P}
+    return {"hr": float(hr_sum) / P_eff, "ndcg": float(ndcg_sum) / P_eff,
+            "k": k, "num_negatives": num_negatives, "num_positives": P,
+            "num_rankable": P_eff}
 
 
 def rank_eval_from_iterator(artifact, data_iter, *, segment: str = "test",

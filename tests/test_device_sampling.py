@@ -204,24 +204,30 @@ def test_planner_handles_beyond_int32_id_product():
     B = 64
     pu = rng.randint(0, nu, B).astype(np.int32)
     pi = rng.randint(0, ni, B).astype(np.int32)
-    plan, pairs_pos, aux = planner.build(
-        tab, jax.random.PRNGKey(0),
-        jnp.take(tab.id2ind["user"], jnp.asarray(pu)),
-        jnp.take(tab.id2ind["item"], jnp.asarray(pi)),
-        jnp.ones(B, jnp.float32),
-        jnp.full(4, -1, jnp.int32), jnp.full(4, -1, jnp.int32),
-        exclude=True)
+    bu = jnp.take(tab.id2ind["user"], jnp.asarray(pu))
+    bi = jnp.take(tab.id2ind["item"], jnp.asarray(pi))
+    args = (tab, jax.random.PRNGKey(0), bu, bi,
+            jnp.ones(B, jnp.float32),
+            jnp.full(4, -1, jnp.int32), jnp.full(4, -1, jnp.int32))
+    plan, pairs_pos, aux = planner.build(*args, exclude=True)
     assert not bool(aux["overflow"])
     for chain_blocks in plan["blocks"]:
         for lvl in chain_blocks:
             for t in ("user", "item"):
                 w = np.asarray(lvl[t]["weight"])
                 assert np.isfinite(w).all() and (w >= 0).all()
-    # exclusion really fired: every batch pair is a true edge of the
-    # graph only rarely at this density, so just assert the removal
-    # counts were accounted (needed_exclude is the max per-node batch
-    # multiplicity, >= 1 whenever any row repeats or any edge exists)
-    assert int(aux["needed_exclude"]) >= 0
+    # exclusion really fired: same key without exclusion samples the
+    # same slots, so the excluded plan must carry strictly LESS total
+    # positive weight (most users here have degree 1, so their batch
+    # edge is sampled with certainty and then masked)
+    plan_no, _, _ = planner.build(*args, exclude=False)
+
+    def total_w(p):
+        return sum(float(np.asarray(lvl[t]["weight"]).sum())
+                   for cb in p["blocks"] for lvl in cb
+                   for t in ("user", "item"))
+
+    assert total_w(plan) < total_w(plan_no)
 
 
 def test_sampled_fanout_statistics(setup):
