@@ -451,3 +451,26 @@ def test_plan_split_matches_fused_step():
     jax.tree.map(lambda x, y: np.testing.assert_allclose(
         x, y, rtol=1e-6, atol=1e-6), jax.device_get(tra.params),
         jax.device_get(trb.params))
+
+
+def test_plan_split_on_mesh_matches_single_device():
+    """plan_split composes with mesh mode: the DP-sharded feed through
+    the two-program pair produces the same update as single-device."""
+    from stargcn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr_m = _tiny_trainer(True, mesh=make_mesh(data=2, model=4),
+                         plan_split=True)
+    tr_s = _tiny_trainer(True, plan_split=True)
+    rs = tr_s.data_iter.rating_sampler(batch_size=tr_s.train_batch,
+                                       segment="train")
+    rc = tr_s.data_iter.recon_nodes_sampler(batch_size=16)
+    batch = tr_s._make_batch(rs, rc)
+    st_s = tr_s.train_iteration(dict(batch))
+    st_m = tr_m.train_iteration(dict(batch))
+    np.testing.assert_allclose(float(st_m["loss"]), float(st_s["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        jax.device_get(tr_s.params), jax.device_get(tr_m.params))
