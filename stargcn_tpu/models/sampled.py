@@ -338,6 +338,11 @@ def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
     (move raw features, not projected ones); at beyond-HBM frontier
     sizes (260k-row frontiers, R=10, agg 250) the projected tensor is
     2.6 GB and OOMs where the raw pooled one is 190 MB.
+
+    Mixed precision rides on ``x.dtype`` (MODEL.COMPUTE_DTYPE): the
+    gathered messages, supports and projection operands compute in
+    that dtype with f32 accumulation on every contraction (the same
+    contract as the full-graph flax modules); params/bias stay f32.
     """
     if ordinal_sharing:
         weight = jnp.cumsum(weight, axis=0)
@@ -345,7 +350,7 @@ def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
     R = weight.shape[0]
     n_src = x.shape[0]
     idx = block["idx"]          # rating * n_src + nbr_pos (combined)
-    w = block["weight"]         # (n_dst, K); 0 on padded slots
+    w = block["weight"].astype(x.dtype)  # (n_dst, K); 0 on padded slots
     msg = jnp.take(x, idx % n_src, axis=0) * w[:, :, None]       # N,K,E
     onehot = jax.nn.one_hot(idx // n_src, R, dtype=x.dtype)      # N,K,R
     raw = jnp.einsum("nke,nkr->nre", msg, onehot,
@@ -353,10 +358,12 @@ def _pool_then_project(x, weight, bias, block, accum, ordinal_sharing):
     wsum = jnp.einsum("nk,nkr->nr", w, onehot,
                       preferred_element_type=jnp.float32)
     if accum == "sum":
-        out = jnp.einsum("nre,rea->na", raw, weight,
+        out = jnp.einsum("nre,rea->na", raw.astype(x.dtype),
+                         weight.astype(x.dtype),
                          preferred_element_type=jnp.float32)
         return out + wsum @ bias
-    ch = jnp.einsum("nre,rea->nra", raw, weight,
+    ch = jnp.einsum("nre,rea->nra", raw.astype(x.dtype),
+                    weight.astype(x.dtype),
                     preferred_element_type=jnp.float32)
     ch = ch + wsum[:, :, None] * bias[None]
     return ch.reshape(ch.shape[0], -1)
@@ -391,6 +398,10 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
     if isinstance(plan, StackedPlan):
         plan = plan.as_device()
     act = get_activation(cfg.activation)
+    # MODEL.COMPUTE_DTYPE: encoder matmul operands in this dtype with
+    # f32 accumulation; params, heads and predictions stay f32 (the
+    # full-graph module's mixed-precision contract, models/stargcn.py)
+    cdt = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
     use_pallas = backend == "pallas"
     if cfg.use_fea_proj and features is None:
         raise ValueError("cfg.use_fea_proj needs features=(user, item)")
@@ -486,7 +497,8 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                         [feats[t],
                          _fea_proj_rows(params, t, fea[t], f0[t], act)],
                         axis=-1)
-        feats = {t: _constrain(v, row_sharding) for t, v in feats.items()}
+        feats = {t: _constrain(v.astype(cdt), row_sharding)
+                 for t, v in feats.items()}
 
         for li, lvl in enumerate(plan["blocks"][block_id]):
             depth = 0 if cfg.gcn_use_recurrent else li
@@ -503,11 +515,11 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                         # The Pallas ELL kernel pools pre-projected
                         # rows (the reference kernel's contract,
                         # seg_op.cu:573-790) — kept as-is for the
-                        # head-to-head; XLA default pools raw rows
-                        # first.
+                        # head-to-head (f32: the hand kernels are
+                        # f32); XLA default pools raw rows first.
                         proj = multi_link_project(
-                            drop(fin[s]), agg_p["weight"],
-                            agg_p["bias"],
+                            drop(fin[s]).astype(jnp.float32),
+                            agg_p["weight"], agg_p["bias"],
                             ordinal_sharing=cfg.agg_ordinal_sharing)
                         pooled = _ell_aggregate(proj, lvl[t],
                                                 cfg.agg_accum, True)
@@ -518,9 +530,14 @@ def sampled_forward(params, cfg, plan, noise_user, noise_item,
                             cfg.agg_ordinal_sharing)
                     pooled = drop(act(pooled))  # agg_act then dropout
                     out_p = layer[f"out_fc_{t}"]
-                    h = pooled @ out_p["kernel"] + out_p["bias"]
-                    # out_act
-                    out[t] = _constrain(act(h), row_sharding)
+                    # out-FC in the compute dtype with f32 accumulation
+                    h = jnp.einsum(
+                        "na,ab->nb", pooled.astype(cdt),
+                        out_p["kernel"].astype(cdt),
+                        preferred_element_type=jnp.float32
+                    ) + out_p["bias"]
+                    # out_act; next level consumes the compute dtype
+                    out[t] = _constrain(act(h).astype(cdt), row_sharding)
                 return out["user"], out["item"]
 
             if remat:

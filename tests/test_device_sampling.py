@@ -474,3 +474,33 @@ def test_plan_split_on_mesh_matches_single_device():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
         jax.device_get(tr_s.params), jax.device_get(tr_m.params))
+
+
+def test_sampled_bfloat16_compute_dtype(setup):
+    """MODEL.COMPUTE_DTYPE on the SAMPLED path: bf16 encoder operands
+    with f32 accumulation track the f32 forward within bf16 tolerance
+    and emit f32 predictions (the full-graph module's mixed-precision
+    contract, round-4; extended to sampled_forward in round 5)."""
+    g, csr, cfg, params, pu, pi, nu, ni, max_deg = setup
+    caps = {"user": 64, "item": 64}
+    dev, _ = _device_plan_tree(g, cfg, pu, pi, caps, max_deg, (pu, pi))
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    out32 = sampled_forward(params, cfg, dev, nu, ni)
+    out16 = sampled_forward(params, cfg16, dev, nu, ni)
+    assert out16["pred_ratings"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16["pred_ratings"]),
+                               np.asarray(out32["pred_ratings"]),
+                               rtol=3e-2, atol=3e-2)
+    for b in range(cfg.nblocks):
+        for t in ("user", "item"):
+            np.testing.assert_allclose(
+                np.asarray(out16["pred_embed"][b][t]),
+                np.asarray(out32["pred_embed"][b][t]),
+                rtol=5e-2, atol=5e-2)
+    # gradients stay f32
+    def loss(p, c):
+        o = sampled_forward(p, c, dev, nu, ni)
+        return jnp.sum(o["pred_ratings"] ** 2)
+    g16 = jax.grad(loss)(params, cfg16)
+    for leaf in jax.tree_util.tree_leaves(g16):
+        assert leaf.dtype == jnp.float32
