@@ -183,10 +183,20 @@ class SampledTrainer:
             s.frontier_caps = self.caps
         logging.info("sampled frontier caps: %s", self.caps)
         if self.backend == "auto":
+            # evaluation is forward-only, so it resolves on the
+            # crossover's forward column (the Pallas tier's measured
+            # win region); training resolves on fwd+bwd (XLA at every
+            # measured shape) — resolve BOTH before the training
+            # default overwrites self.backend.
+            self.eval_backend = resolve_sampled_backend(
+                "auto", self.caps, fanout, for_training=False)
             self.backend = resolve_sampled_backend("auto", self.caps,
                                                    fanout)
-            logging.info("sampled backend resolved to %r (caps %s, "
-                         "fanout %d)", self.backend, self.caps, fanout)
+            logging.info("sampled backend resolved to %r (train) / %r "
+                         "(eval) (caps %s, fanout %d)", self.backend,
+                         self.eval_backend, self.caps, fanout)
+        else:
+            self.eval_backend = self.backend
 
         self.params = self._init_params()
         if self.shardings is not None:
@@ -864,8 +874,10 @@ def _sampled_outputs(trainer, params, dplan, pairs_pos, noise_u, noise_i,
     cfg = trainer.model_cfg
     dplan = dict(dplan)
     dplan["pairs_pos"] = pairs_pos
+    backend = (trainer.backend if train
+               else getattr(trainer, "eval_backend", trainer.backend))
     return sampled_forward(params, cfg, dplan, noise_u, noise_i,
-                           backend=trainer.backend, train=train,
+                           backend=backend, train=train,
                            dropout_rng=rng, features=trainer._fea,
                            row_sharding=trainer._row_shard,
                            identity_frontiers=identity,
